@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding (pjit/shard_map over the env axis) is validated on CPU with
+XLA's host-platform device-count override, mirroring how the driver dry-runs the
+multi-chip path. Real-TPU benchmarks happen separately via bench.py.
+
+Note: the environment registers an 'axon' TPU PJRT plugin at interpreter start
+and pins jax_platforms to it, so the env var alone is not enough — we override
+through the config API before any computation runs.
+"""
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
