@@ -106,7 +106,29 @@ def forward_dynamics(
     FK results for reuse (Rw, pw, vw).
     """
     nb = model.nb
-    Rw, pw, X_up, S, _, _ = kinematics(model, base_pos, base_quat, q)
+    kin = kinematics(model, base_pos, base_quat, q)
+    return forward_dynamics_kin(
+        model, Ispat, kin, base_lin_vel_w, base_ang_vel_w, qd, tau, f_ext_w,
+        joint_damping=joint_damping,
+    )
+
+
+def forward_dynamics_kin(
+    model: BodyModel,
+    Ispat,
+    kin,
+    base_lin_vel_w,
+    base_ang_vel_w,
+    qd,
+    tau,
+    f_ext_w,
+    joint_damping=None,
+):
+    """forward_dynamics with precomputed kinematics() output (avoids FK twice
+    when contact already needed body poses)."""
+    nb = model.nb
+    Rw, pw, X_up, S, _, _ = kin
+    q = base_lin_vel_w  # dtype carrier only
     v, vw = body_velocities(model, Rw, X_up, S, base_lin_vel_w, base_ang_vel_w, qd)
 
     # external wrench world -> body frames

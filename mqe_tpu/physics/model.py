@@ -74,10 +74,17 @@ class BodyModel:
 
     @property
     def spatial_inertia(self) -> np.ndarray:
-        """(nb, 6, 6) body-frame spatial inertias."""
-        return np.asarray(
-            spatial.spatial_inertia(self.mass, self.com, self.inertia)
-        )
+        """(nb, 6, 6) body-frame spatial inertias (pure numpy; jit-safe)."""
+        out = np.zeros((self.nb, 6, 6))
+        for i in range(self.nb):
+            c = self.com[i]
+            m = self.mass[i]
+            C = np.array([[0, -c[2], c[1]], [c[2], 0, -c[0]], [-c[1], c[0], 0]])
+            out[i, :3, :3] = self.inertia[i] + m * (C @ C.T)
+            out[i, :3, 3:] = m * C
+            out[i, 3:, :3] = m * C.T
+            out[i, 3:, 3:] = m * np.eye(3)
+        return out
 
     def sphere_mask(self, name_substrings) -> np.ndarray:
         """Boolean mask over collision spheres whose source link name contains

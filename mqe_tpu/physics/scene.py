@@ -1,0 +1,403 @@
+"""Composed multi-actor physics: robots + NPCs + terrain, one env (vmap over E).
+
+TPU-native replacement for the reference's per-step native sequence
+`set_dof_actuation_force_tensor -> simulate -> refresh_*` (ref
+mqe/envs/go1/go1.py:48-58): a pure function
+`substep(scene, terrain, state, tau, dr) -> (state, contacts)` that jit-fuses
+actuation, contact generation, articulated dynamics and integration.
+
+Actor layout parity (SURVEY.md §2.3): agents first, then NPCs; per-agent
+quantities flattened by the env layer.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mqe_tpu.physics import contact as C
+from mqe_tpu.physics import dynamics, integrator, spatial
+from mqe_tpu.physics.model import (
+    PRIM_BOX,
+    PRIM_CYLINDER,
+    PRIM_SPHERE,
+    BodyModel,
+    StaticGeoms,
+)
+
+MAX_ENV_BOXES = 16  # static wall boxes per env (terrain emits <= this)
+
+
+@struct.dataclass
+class ActorState:
+    pos: jnp.ndarray       # (A, 3)
+    quat: jnp.ndarray      # (A, 4) xyzw
+    lin_vel: jnp.ndarray   # (A, 3) world
+    ang_vel: jnp.ndarray   # (A, 3) world
+    q: jnp.ndarray         # (A, nq)
+    qd: jnp.ndarray        # (A, nq)
+
+
+@struct.dataclass
+class PhysState:
+    agents: ActorState
+    npcs: ActorState       # zero-A actor state when the task has no NPCs
+
+
+@struct.dataclass
+class Terrain:
+    height: jnp.ndarray    # (X, Y) meters, shared across envs
+    origin: jnp.ndarray    # (2,) world xy of cell (0, 0)
+    scale: jnp.ndarray     # () meters per cell
+    boxes: jnp.ndarray     # (MAX_ENV_BOXES, 7) per env: center(3) half(3) valid
+    static_geoms: jnp.ndarray  # (G, 8) per env: kind,center(3),p0,p1,p2,valid
+
+
+@struct.dataclass
+class DomainRand:
+    mu_scale: jnp.ndarray        # () friction multiplier
+    payload: jnp.ndarray         # (A,) extra trunk mass
+    com_shift: jnp.ndarray       # (A, 3) trunk com displacement
+    motor_strength: jnp.ndarray  # (A, nq) torque multiplier (used by env layer)
+
+
+@struct.dataclass
+class Contacts:
+    sphere_force: jnp.ndarray    # (A, ns, 3) world force on each agent sphere
+    npc_sphere_force: jnp.ndarray  # (N, ns_npc, 3)
+    feet_force: jnp.ndarray      # (A, 4, 3) aggregated per foot
+
+
+# static geom row kinds
+SG_BOX = 0.0
+SG_CYL = 1.0
+
+
+@dataclass(frozen=True)
+class SceneModel:
+    """Static scene description; hashable, closed over by jit."""
+
+    robot: BodyModel
+    num_agents: int
+    npc: BodyModel | None = None
+    num_npcs: int = 0
+    npc_root_free: bool = True
+    contact: C.ContactParams = C.DEFAULT_PARAMS
+    self_collision: bool = True
+
+    # ---- derived (numpy, computed lazily via helpers) ----
+    def foot_sphere_indices(self) -> np.ndarray:
+        idx = [i for i, t in enumerate(self.robot.sph_tags) if "foot" in t]
+        return np.array(idx, dtype=np.int32)
+
+    def coarse_sphere_indices(self) -> np.ndarray:
+        """Spheres used for agent-agent collision (trunk + head + hips)."""
+        idx = [
+            i
+            for i, t in enumerate(self.robot.sph_tags)
+            if ("trunk" in t or "collision_box" in t or "hip" in t)
+        ]
+        return np.array(idx, dtype=np.int32)
+
+
+def _sphere_world(model: BodyModel, Rw, pw, vw):
+    """World position & velocity of each collision sphere. Single actor.
+
+    Rw: (nb,3,3), pw: (nb,3), vw: (nb,6). Returns (ns,3), (ns,3).
+    """
+    body = jnp.asarray(model.sph_body)
+    sp = jnp.asarray(model.sph_pos, dtype=pw.dtype)
+    Rb = Rw[body]                     # (ns,3,3)
+    pb = pw[body]                     # (ns,3)
+    x = pb + jnp.einsum("nij,nj->ni", Rb, sp)
+    w = vw[body, :3]
+    v0 = vw[body, 3:]
+    v = v0 + jnp.cross(w, x - pb)
+    return x, v
+
+
+def _accumulate_wrench(model: BodyModel, pw, sph_x, force):
+    """Per-sphere world forces -> per-body world wrench about body origin.
+
+    pw: (nb,3); sph_x: (ns,3); force: (ns,3). Returns (nb,6).
+    """
+    body = jnp.asarray(model.sph_body)
+    arm = sph_x - pw[body]
+    torque = jnp.cross(arm, force)
+    n = jax.ops.segment_sum(torque, body, num_segments=model.nb)
+    f = jax.ops.segment_sum(force, body, num_segments=model.nb)
+    return jnp.concatenate([n, f], axis=-1)
+
+
+def _gravity_wrench(model: BodyModel, Rw, payload=None, com_shift=None, g=-9.81):
+    """(nb,6) gravity wrench per body (world, about body origin)."""
+    mass = jnp.asarray(model.mass, dtype=Rw.dtype)
+    com = jnp.asarray(model.com, dtype=Rw.dtype)
+    if payload is not None:
+        mass = mass.at[0].add(payload)
+    if com_shift is not None:
+        com = com.at[0].add(com_shift)
+    com_w = jnp.einsum("nij,nj->ni", Rw, com)
+    f = jnp.zeros_like(com_w).at[:, 2].set(mass * g)
+    n = jnp.cross(com_w, f)
+    return jnp.concatenate([n, f], axis=-1)
+
+
+def _spatial_inertias(model: BodyModel, payload, com_shift, dtype=jnp.float32):
+    """(nb,6,6) with DR-modified trunk inertia."""
+    Ispat = jnp.asarray(model.spatial_inertia, dtype=dtype)
+    m0 = jnp.asarray(model.mass[0], dtype=dtype) + payload
+    com0 = jnp.asarray(model.com[0], dtype=dtype) + com_shift
+    I0 = spatial.spatial_inertia(m0, com0, jnp.asarray(model.inertia[0], dtype=dtype))
+    return Ispat.at[0].set(I0)
+
+
+def _terrain_and_box_force(pos, vel, radius, terrain: Terrain, params, mu_scale):
+    """Force on spheres from heightfield + env wall boxes + static geoms.
+
+    pos/vel: (ns,3); radius: (ns,). Returns (ns,3).
+    """
+    f = C.sphere_heightfield(
+        pos, vel, radius, terrain.height, terrain.origin, terrain.scale, params, mu_scale
+    )
+    # env wall boxes: (B,7)
+    bc = terrain.boxes[:, 0:3]
+    bh = terrain.boxes[:, 3:6]
+    bvalid = terrain.boxes[:, 6]
+    fb = C.sphere_box(
+        pos[:, None, :], vel[:, None, :], radius[:, None],
+        bc[None, :, :], bh[None, :, :], params, mu_scale,
+    )
+    f = f + (fb * bvalid[None, :, None]).sum(axis=1)
+    # static geoms: (G,8) rows [kind, cx,cy,cz, p0,p1,p2, valid]
+    sg = terrain.static_geoms
+    if sg.shape[0] > 0:
+        kind = sg[:, 0]
+        center = sg[:, 1:4]
+        p = sg[:, 4:7]
+        valid = sg[:, 7]
+        f_box = C.sphere_box(
+            pos[:, None, :], vel[:, None, :], radius[:, None],
+            center[None], p[None], params, mu_scale,
+        )
+        f_cyl = C.sphere_vertical_cylinder(
+            pos[:, None, :], vel[:, None, :], radius[:, None],
+            center[None], p[None, :, 0], p[None, :, 1], params, mu_scale,
+        )
+        fg = jnp.where((kind == SG_CYL)[None, :, None], f_cyl, f_box)
+        f = f + (fg * valid[None, :, None]).sum(axis=1)
+    return f
+
+
+def _npc_prim_force(scene: SceneModel, sph_x, sph_v, sph_r, npc_Rw, npc_pw, npc_vw, params, mu_scale):
+    """Agent spheres vs NPC collision primitives.
+
+    sph_x/v: (S,3) flattened agent spheres; npc_* : (N, nb_n, ...) FK of NPCs.
+    Returns (S,3) force on spheres and (N, nb_n, 6) reaction wrench on NPC
+    bodies (world, about npc body origin).
+    """
+    npc = scene.npc
+    N = scene.num_npcs
+    S_ = sph_x.shape[0]
+    f_sph = jnp.zeros_like(sph_x)
+    wrench = jnp.zeros((N, npc.nb, 6), dtype=sph_x.dtype)
+    prim_body = np.asarray(npc.prim_body)
+    for pi in range(len(npc.prim_tags)):
+        b = int(prim_body[pi])
+        kind = int(npc.prim_kind[pi])
+        ppos = jnp.asarray(npc.prim_pos[pi], dtype=sph_x.dtype)
+        prot = jnp.asarray(npc.prim_rot[pi], dtype=sph_x.dtype)
+        psize = np.asarray(npc.prim_size[pi])
+        # world pose of prim frame, per npc instance
+        Rb = npc_Rw[:, b]                      # (N,3,3)
+        pb = npc_pw[:, b]                      # (N,3)
+        Rp = Rb @ prot                         # (N,3,3)
+        pp = pb + jnp.einsum("nij,j->ni", Rb, ppos)  # (N,3)
+        # velocity of prim-local contact region: use sphere-center point vel of npc body
+        w_n = npc_vw[:, b, :3]
+        v_n0 = npc_vw[:, b, 3:]
+
+        # transform spheres into prim frame: (S,N,3)
+        rel = sph_x[:, None, :] - pp[None]
+        x_local = jnp.einsum("nji,snj->sni", Rp, rel)  # R^T @ rel
+        v_npc_at_x = v_n0[None] + jnp.cross(w_n[None], sph_x[:, None, :] - pb[None])
+        v_rel = sph_v[:, None, :] - v_npc_at_x
+        v_local = jnp.einsum("nji,snj->sni", Rp, v_rel)
+
+        if kind == PRIM_SPHERE:
+            f_local = C.sphere_sphere(
+                x_local, v_local, sph_r[:, None], jnp.zeros_like(x_local),
+                jnp.zeros_like(v_local), psize[0], params, mu_scale,
+            )
+        elif kind == PRIM_BOX:
+            half = jnp.asarray(psize / 2.0, dtype=sph_x.dtype)
+            f_local = C.sphere_box(
+                x_local, v_local, sph_r[:, None], jnp.zeros(3, dtype=sph_x.dtype),
+                half, params, mu_scale,
+            )
+        else:  # cylinder (axis = prim z)
+            f_local = C.sphere_vertical_cylinder(
+                x_local, v_local, sph_r[:, None], jnp.zeros(3, dtype=sph_x.dtype),
+                psize[0], psize[1] / 2.0, params, mu_scale,
+            )
+        f_world = jnp.einsum("nij,snj->sni", Rp, f_local)  # (S,N,3)
+        f_sph = f_sph + f_world.sum(axis=1)
+        # reaction on npc body b
+        react = -f_world                                  # (S,N,3)
+        arm = sph_x[:, None, :] - pb[None]                # contact arm approx at sphere center
+        n_react = jnp.cross(arm, react).sum(axis=0)       # (N,3)
+        f_react = react.sum(axis=0)                       # (N,3)
+        wrench = wrench.at[:, b, :3].add(n_react).at[:, b, 3:].add(f_react)
+    return f_sph, wrench
+
+
+def substep(
+    scene: SceneModel,
+    terrain: Terrain,
+    state: PhysState,
+    tau: jnp.ndarray,          # (A, nq) joint torques for agents
+    npc_tau: jnp.ndarray,      # (N, nq_npc) torques for NPC joints (usually 0)
+    dr: DomainRand,
+    dt: float,
+):
+    """One physics substep for one env. vmap over the env axis outside.
+
+    Returns (new_state, Contacts).
+    """
+    robot = scene.robot
+    A = scene.num_agents
+    params = scene.contact
+    ag = state.agents
+
+    # ---- agent kinematics ----
+    def kin_one(pos, quat, q, lv, av, qd):
+        kin = dynamics.kinematics(robot, pos, quat, q)
+        Rw, pw, X_up, S, _, _ = kin
+        v, vw = dynamics.body_velocities(robot, Rw, X_up, S, lv, av, qd)
+        return Rw, pw, vw
+
+    Rw, pw, vw = jax.vmap(kin_one)(ag.pos, ag.quat, ag.q, ag.lin_vel, ag.ang_vel, ag.qd)
+
+    sph_x, sph_v = jax.vmap(lambda R, p, v: _sphere_world(robot, R, p, v))(Rw, pw, vw)
+    ns = sph_x.shape[1]
+    sph_r = jnp.asarray(robot.sph_radius, dtype=sph_x.dtype)
+
+    # ---- NPC kinematics ----
+    npc = scene.npc
+    N = scene.num_npcs
+    if N > 0:
+        nc = state.npcs
+
+        def nkin_one(pos, quat, q, lv, av, qd):
+            kin = dynamics.kinematics(npc, pos, quat, q)
+            nRw, npw, X_up, S, _, _ = kin
+            v, nvw = dynamics.body_velocities(npc, nRw, X_up, S, lv, av, qd)
+            return nRw, npw, nvw
+
+        nRw, npw, nvw = jax.vmap(nkin_one)(nc.pos, nc.quat, nc.q, nc.lin_vel, nc.ang_vel, nc.qd)
+        nsph_x, nsph_v = jax.vmap(lambda R, p, v: _sphere_world(npc, R, p, v))(nRw, npw, nvw)
+        nsph_r = jnp.asarray(npc.sph_radius, dtype=sph_x.dtype)
+
+    # ---- contact forces on agent spheres ----
+    flat_x = sph_x.reshape(A * ns, 3)
+    flat_v = sph_v.reshape(A * ns, 3)
+    flat_r = jnp.tile(sph_r, (A,))
+    force = _terrain_and_box_force(flat_x, flat_v, flat_r, terrain, params, dr.mu_scale)
+
+    npc_wrench = None
+    npc_force_sph = None
+    if N > 0:
+        f_npc, npc_wrench = _npc_prim_force(
+            scene, flat_x, flat_v, flat_r, nRw, npw, nvw, params, dr.mu_scale
+        )
+        force = force + f_npc
+        # NPC spheres vs terrain/boxes
+        nflat_x = nsph_x.reshape(N * len(npc.sph_tags), 3)
+        nflat_v = nsph_v.reshape(N * len(npc.sph_tags), 3)
+        nflat_r = jnp.tile(nsph_r, (N,))
+        npc_force_sph = _terrain_and_box_force(
+            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale
+        )
+        # NPC-NPC sphere pairs (sheep flock bumping)
+        if N > 1:
+            px = nflat_x
+            pv = nflat_v
+            ff = C.sphere_sphere(
+                px[:, None, :], pv[:, None, :], nflat_r[:, None],
+                px[None, :, :], pv[None, :, :], nflat_r[None, :], params, dr.mu_scale,
+            )
+            # zero self and same-instance pairs
+            inst = jnp.repeat(jnp.arange(N), len(npc.sph_tags))
+            mask = (inst[:, None] != inst[None, :]).astype(ff.dtype)
+            npc_force_sph = npc_force_sph + (ff * mask[..., None]).sum(axis=1)
+
+    # ---- agent-agent collision (coarse spheres) ----
+    if A > 1 and scene.self_collision:
+        ci = jnp.asarray(scene.coarse_sphere_indices())
+        cx = sph_x[:, ci]          # (A, nc, 3)
+        cv = sph_v[:, ci]
+        cr = sph_r[ci]
+        AC = cx.reshape(-1, 3)
+        ACv = cv.reshape(-1, 3)
+        ACr = jnp.tile(cr, (A,))
+        ff = C.sphere_sphere(
+            AC[:, None, :], ACv[:, None, :], ACr[:, None],
+            AC[None, :, :], ACv[None, :, :], ACr[None, :], params, dr.mu_scale,
+        )
+        inst = jnp.repeat(jnp.arange(A), ci.shape[0])
+        mask = (inst[:, None] != inst[None, :]).astype(ff.dtype)
+        fcoarse = (ff * mask[..., None]).sum(axis=1).reshape(A, ci.shape[0], 3)
+        force = force.reshape(A, ns, 3).at[:, ci].add(fcoarse).reshape(A * ns, 3)
+
+    force = force.reshape(A, ns, 3)
+
+    # ---- agent dynamics ----
+    def dyn_one(pos, quat, lv, av, q, qd, f_sph, x_sph, tau_a, payload, com_shift, Rw_a, pw_a):
+        Ispat = _spatial_inertias(robot, payload, com_shift, dtype=pos.dtype)
+        wrench = _accumulate_wrench(robot, pw_a, x_sph, f_sph)
+        wrench = wrench + _gravity_wrench(robot, Rw_a, payload, com_shift)
+        wd, ad, qdd, _ = dynamics.forward_dynamics(
+            robot, Ispat, pos, quat, lv, av, q, qd, tau_a, wrench
+        )
+        return integrator.integrate(robot, pos, quat, lv, av, q, qd, wd, ad, qdd, dt)
+
+    new_pos, new_quat, new_lv, new_av, new_q, new_qd = jax.vmap(dyn_one)(
+        ag.pos, ag.quat, ag.lin_vel, ag.ang_vel, ag.q, ag.qd,
+        force, sph_x, tau, dr.payload, dr.com_shift, Rw, pw,
+    )
+    new_agents = ActorState(new_pos, new_quat, new_lv, new_av, new_q, new_qd)
+
+    # ---- NPC dynamics ----
+    if N > 0:
+        nsph_f = npc_force_sph.reshape(N, len(npc.sph_tags), 3)
+
+        def npc_dyn_one(pos, quat, lv, av, q, qd, f_sph, x_sph, wrench_prim, npw_a, nRw_a, tau_n):
+            Ispat = jnp.asarray(npc.spatial_inertia, dtype=pos.dtype)
+            wrench = _accumulate_wrench(npc, npw_a, x_sph, f_sph)
+            wrench = wrench + wrench_prim + _gravity_wrench(npc, nRw_a)
+            wd, ad, qdd, _ = dynamics.forward_dynamics(
+                npc, Ispat, pos, quat, lv, av, q, qd, tau_n, wrench
+            )
+            if not scene.npc_root_free:
+                wd = jnp.zeros_like(wd)
+                ad = jnp.zeros_like(ad)
+            return integrator.integrate(npc, pos, quat, lv, av, q, qd, wd, ad, qdd, dt)
+
+        npos, nquat, nlv, nav, nq, nqd = jax.vmap(npc_dyn_one)(
+            nc.pos, nc.quat, nc.lin_vel, nc.ang_vel, nc.q, nc.qd,
+            nsph_f, nsph_x, npc_wrench, npw, nRw, npc_tau,
+        )
+        new_npcs = ActorState(npos, nquat, nlv, nav, nq, nqd)
+    else:
+        new_npcs = state.npcs
+        nsph_f = jnp.zeros((0, 0, 3), dtype=sph_x.dtype)
+
+    # ---- contact summary ----
+    fi = jnp.asarray(scene.foot_sphere_indices())
+    feet_force = force[:, fi]
+    contacts = Contacts(sphere_force=force, npc_sphere_force=nsph_f, feet_force=feet_force)
+    return PhysState(agents=new_agents, npcs=new_npcs), contacts
