@@ -22,7 +22,7 @@ class ContactParams:
     kn: float = 4000.0     # normal stiffness [N/m]
     hc_damping: float = 3.0  # Hunt-Crossley damping ratio [s/m]: fn = kn*d*(1 - hc*vn)
     mu: float = 1.0        # friction coefficient (terrain static_friction=1.0)
-    v_slip: float = 0.05   # regularization slip velocity [m/s]
+    v_slip: float = 0.02   # regularization slip velocity [m/s]
     f_max: float = 500.0   # per-point normal force clamp [N]
     # stable with physics dt <= 0.0025 s (run 2 sub-iterations per reference
     # 0.005 s substep; see envs config sim.subiters)
