@@ -1,0 +1,701 @@
+"""Vectorized multi-agent Go1 environment: pure-functional TPU-native core.
+
+Replaces the reference's mutable-buffer class stack (BaseTask -> LeggedRobot ->
+LeggedRobotField -> Go1, ref mqe/envs/base/base_task.py:40-105,
+legged_robot.py:81-157, go1/go1.py:35-108) with a single pure
+`step(state, commands, key) -> (state, obs, done, info)` jitted over the env
+axis. Resets are masked auto-resets inside step (no indexed writes), the
+hierarchical command -> locomotion -> torque chain runs fully fused, and the
+env axis shards across a TPU mesh via shard_map (parallel/).
+
+Actor layout parity: agents first then NPCs; obs is a namespace of per-agent
+tensors (ObsBuf) exactly like the reference's `obs_buf = copy(cfg.obs)`
+pattern (go1.py:26, 153-196) but as a pytree.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mqe_tpu.control.locomotion import (
+    CLOCK_TO_LEG,
+    TrotController,
+    step_gait_clocks,
+)
+from mqe_tpu.control.nets import ActuatorNet, AdaptationModule
+from mqe_tpu.envs.config import class_to_dict, default_joint_array
+from mqe_tpu.ops import quat as quat_ops
+from mqe_tpu.physics import contact as C
+from mqe_tpu.physics import scene as S
+from mqe_tpu.physics.model import load_model, load_static_geoms
+from mqe_tpu.terrain import BarrierTrackBuilder, plane_terrain
+
+
+@struct.dataclass
+class ObsBuf:
+    """Namespace observation (per-component tensors, shapes (E, A, .))."""
+
+    base_pos: jnp.ndarray          # (E, A, 3) relative to env origin
+    base_quat: jnp.ndarray         # (E, A, 4)
+    base_rpy: jnp.ndarray          # (E, A, 3)
+    lin_vel: jnp.ndarray           # (E, A, 3) body frame, scaled
+    ang_vel: jnp.ndarray           # (E, A, 3) body frame, scaled
+    dof_pos: jnp.ndarray           # (E, A, 12) offset from default, scaled
+    dof_vel: jnp.ndarray           # (E, A, 12) scaled
+    projected_gravity: jnp.ndarray  # (E, A, 3)
+    clock_inputs: jnp.ndarray      # (E, A, 4)
+    last_action: jnp.ndarray       # (E, A, 12) locomotion-level
+    last_last_action: jnp.ndarray  # (E, A, 12)
+    env_info: dict                 # oracle terrain info, e.g. gate_deviation (E, 2)
+
+
+@struct.dataclass
+class EnvState:
+    phys: S.PhysState              # batched (E, ...)
+    episode_length: jnp.ndarray    # (E,) int32
+    gait_indices: jnp.ndarray      # (E, A)
+    clock_inputs: jnp.ndarray      # (E, A, 4)
+    loco_obs: jnp.ndarray          # (E, A, 70)
+    loco_hist: jnp.ndarray         # (E, A, H*70) or (E, A, 0) for trot backend
+    last_loco_action: jnp.ndarray  # (E, A, 12)
+    last2_loco_action: jnp.ndarray
+    err_hist: jnp.ndarray          # (E, A, 4, 12) actuator history
+    dr: S.DomainRand               # batched (E, ...)
+    commands: jnp.ndarray          # (E, A, 3) current commands (set each step)
+    push_timer: jnp.ndarray        # (E,) int32
+    steps_since_reset: jnp.ndarray  # alias of episode_length? kept distinct
+    done: jnp.ndarray              # (E,) bool last-step termination
+    collide: jnp.ndarray           # (E,) bool termination-contact flag
+    r_term: jnp.ndarray            # (E,) roll termination flag
+    p_term: jnp.ndarray            # (E,) pitch termination flag
+
+
+class Go1Env:
+    """Static env object: holds models + terrain + compiled pure functions.
+
+    All per-task variability (agent/NPC counts, terrain layout, termination
+    terms) is baked statically at construction — heterogeneity is config-keyed
+    jit, never dynamic shapes (SURVEY.md §7 hard-parts #4).
+    """
+
+    def __init__(self, cfg, num_envs: int | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.num_envs = num_envs or cfg.env.num_envs
+        self.num_agents = cfg.env.num_agents
+        self.num_npcs = cfg.env.num_npcs
+        E, A, N = self.num_envs, self.num_agents, self.num_npcs
+
+        self.robot = load_model(cfg.asset.model)
+        self.npc = load_model(cfg.asset.npc_model, root_free=not cfg.asset.fix_npc_base_link) if cfg.asset.npc_model else None
+        self.sim_dt = cfg.sim.dt
+        self.subiters = cfg.sim.subiters
+        self.decimation = cfg.control.decimation
+        self.dt = self.sim_dt * self.decimation  # control dt (50 Hz)
+        self.max_episode_length = int(np.ceil(cfg.env.episode_length_s / self.dt))
+
+        self.default_q = np.asarray(default_joint_array(cfg), dtype=np.float32)
+        self.torque_limits = np.asarray(cfg.control.torque_limits, dtype=np.float32)
+        self.hip_scale = np.asarray(
+            [cfg.control.hip_scale_reduction, 1.0, 1.0] * 4, dtype=np.float32
+        )
+        self.action_scale = cfg.control.action_scale
+
+        # ---- terrain ----
+        if cfg.terrain.mesh_type == "plane":
+            self.build = plane_terrain(E, A, cfg.terrain.env_spacing)
+        else:
+            tcfg = class_to_dict(cfg.terrain)
+            self.build = BarrierTrackBuilder(tcfg, A).build(seed=seed)
+        R, Cc = self.build.env_origins.shape[:2]
+        rng = np.random.default_rng(seed + 1)
+        rows = rng.integers(0, R, size=E)
+        cols = np.arange(E) % Cc
+        self.env_rows, self.env_cols = rows, cols
+        self.env_origins = jnp.asarray(self.build.env_origins[rows, cols])       # (E,3)
+        self.agent_origins = jnp.asarray(self.build.agent_origins[rows, cols])   # (E,A,3)
+        self.env_boxes = jnp.asarray(self.build.boxes[rows, cols])               # (E,B,7)
+        self.env_info_np = {
+            k: v[rows, cols] for k, v in self.build.env_info.items()
+        }
+        self.env_info = {k: jnp.asarray(v) for k, v in self.env_info_np.items()}
+        self.hf = jnp.asarray(self.build.height)
+        self.hf_origin = jnp.asarray(self.build.origin)
+        self.hf_scale = jnp.asarray(self.build.scale, dtype=jnp.float32)
+
+        # static fixture geoms (bridge deck / wrestling ring) placed at the
+        # first NPC init position of each env
+        static_rows = np.zeros((0, 8), dtype=np.float32)
+        if cfg.asset.static_model:
+            sg = load_static_geoms(cfg.asset.static_model)
+            rows_ = []
+            base = np.asarray(cfg.init_state.init_states_npc[0].pos, dtype=np.float32)
+            for i in range(sg.boxes_center.shape[0]):
+                rows_.append([S.SG_BOX, *(sg.boxes_center[i] + base), *sg.boxes_half[i], 1.0])
+            for i in range(sg.cyl_center.shape[0]):
+                rows_.append(
+                    [S.SG_CYL, *(sg.cyl_center[i] + base), sg.cyl_radius[i], sg.cyl_half_length[i], 0.0, 1.0]
+                )
+            static_rows = np.asarray(rows_, dtype=np.float32)
+        self.n_static = static_rows.shape[0]
+        if self.n_static:
+            sgs = np.tile(static_rows[None], (E, 1, 1))
+            sgs[:, :, 1:3] += np.asarray(self.build.env_origins[rows, cols][:, None, :2])
+            self.static_geoms = jnp.asarray(sgs)
+        else:
+            self.static_geoms = jnp.zeros((E, 0, 8), dtype=jnp.float32)
+
+        # if a static fixture replaces the articulated NPC collision (bridge,
+        # wrestling field), the NPC itself is a non-colliding anchor
+        self.npc_has_collision = cfg.asset.npc_collision and cfg.asset.static_model is None
+
+        self.scene = S.SceneModel(
+            robot=self.robot,
+            num_agents=A,
+            npc=self.npc if self.npc_has_collision else None,
+            num_npcs=N if self.npc_has_collision else 0,
+            npc_root_free=not cfg.asset.fix_npc_base_link,
+            contact=C.ContactParams(
+                kn=cfg.physx.kn, hc_damping=cfg.physx.hc_damping,
+                v_slip=cfg.physx.v_slip, f_max=cfg.physx.f_max,
+            ),
+        )
+        # sphere masks for termination/penalty classification
+        self.term_sph = self.robot.sphere_mask(cfg.asset.terminate_after_contacts_on)
+        self.pen_sph = self.robot.sphere_mask(cfg.asset.penalize_contacts_on)
+
+        # ---- control backends ----
+        self.actuator = ActuatorNet()
+        self.backend = cfg.control.locomotion_backend
+        self.trot = TrotController(
+            body_height=0.28,
+            action_scale=cfg.control.action_scale,
+            hip_scale_reduction=cfg.control.hip_scale_reduction,
+            default_q=self.default_q,
+        )
+        self.adaptation = AdaptationModule() if self.backend == "policy" else None
+        self.body_policy_params = None  # set via load_locomotion_policy()
+        self.hist_len = 30 if self.backend == "policy" else 0
+
+        dc = cfg.control.default_command
+        gaits = cfg.command.gaits
+        gait_phase = np.asarray(gaits[dc.gait], dtype=np.float32)
+        self.gait_params_static = dict(
+            freq=dc.gait_freq,
+            phases=float(gait_phase[0]),
+            offsets=float(gait_phase[1]),
+            bounds=float(gait_phase[2]),
+            duration=0.5,
+            swing_height=max(dc.footswing_height, 0.12),
+            stance_width=dc.stance_width,
+            stance_length=dc.stance_length,
+            body_height_delta=dc.body_height,
+        )
+
+        # init states per agent (A, 13)
+        ist = cfg.init_state
+        if ist.multi_init_state and ist.init_states:
+            arr = np.array(
+                [s.pos + s.rot + s.lin_vel + s.ang_vel for s in ist.init_states],
+                dtype=np.float32,
+            )
+            if arr.shape[0] < A:
+                arr = np.tile(arr, (int(np.ceil(A / arr.shape[0])), 1))[:A]
+        else:
+            arr = np.tile(
+                np.asarray(ist.pos + ist.rot + ist.lin_vel + ist.ang_vel, dtype=np.float32),
+                (A, 1),
+            )
+        self.agent_init = jnp.asarray(arr)  # (A, 13)
+
+        if N > 0 and ist.init_states_npc:
+            narr = np.array(
+                [s.pos + s.rot + s.lin_vel + s.ang_vel for s in ist.init_states_npc],
+                dtype=np.float32,
+            )
+            if narr.shape[0] < N:
+                narr = np.tile(narr, (int(np.ceil(N / narr.shape[0])), 1))[:N]
+            self.npc_init = jnp.asarray(narr[:N])
+        elif N > 0:
+            self.npc_init = jnp.zeros((N, 13), dtype=jnp.float32).at[:, 6].set(1.0)
+        else:
+            self.npc_init = jnp.zeros((0, 13), dtype=jnp.float32)
+        if self.npc is not None:
+            nq = self.npc.nq
+            dnpc = np.asarray(ist.default_npc_joint_angles, dtype=np.float32)
+            if dnpc.size < nq:
+                dnpc = np.zeros(nq, dtype=np.float32)
+            self.npc_default_q = jnp.asarray(dnpc[:nq])
+        else:
+            self.npc_default_q = jnp.zeros((0,), dtype=jnp.float32)
+
+        # sheep grid init (ref go1_sheep.py:66-111) overrides init_states_npc
+        self.npc_behavior = getattr(cfg.asset, "npc_behavior", "none")
+        if self.npc_behavior == "sheep":
+            nr, nc = cfg.asset.num_rows, cfg.asset.num_cols
+            dis = cfg.asset.dis_sheep
+            bt = cfg.terrain.BarrierTrack_kwargs
+            ox = bt["init"]["block_length"] + bt["plane"]["block_length"] / 2 - (nr // 2) * dis[0]
+            oy = -(nc // 2) * dis[1]
+            pos = []
+            for i in range(nr):
+                for j in range(nc):
+                    pos.append([ox + i * dis[0], oy + j * dis[1], 0.3])
+            pos = np.asarray(pos[:N], dtype=np.float32)
+            ni = np.zeros((N, 13), dtype=np.float32)
+            ni[:, :3] = pos
+            ni[:, 6] = 1.0
+            self.npc_init = jnp.asarray(ni)
+
+        self._step = jax.jit(self._step_impl)
+        self._reset_all = jax.jit(self._reset_all_impl)
+
+    # ------------------------------------------------------------------
+    # construction of fresh (reset) states
+    # ------------------------------------------------------------------
+    def _fresh_env_state(self, key):
+        """Sample spawn state for ONE env. Returns (agents, npcs, dr)."""
+        cfg = self.cfg
+        A, N = self.num_agents, self.num_npcs
+        k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
+
+        base = self.agent_init  # (A, 13)
+        # spawn = init-state pos + terrain agent origin (added later), matching
+        # the reference's base_init_state + agent_origins (legged_robot.py:433-434)
+        pos = base[:, :3]
+        quat = base[:, 3:7]
+
+        dr_cfg = cfg.domain_rand
+        if dr_cfg.init_base_pos_range is not None:
+            rx = dr_cfg.init_base_pos_range["x"]
+            ry = dr_cfg.init_base_pos_range["y"]
+            jit_x = jax.random.uniform(k1, (A,), minval=rx[0], maxval=rx[1])
+            jit_y = jax.random.uniform(k2, (A,), minval=ry[0], maxval=ry[1])
+            pos = pos.at[:, 0].add(jit_x).at[:, 1].add(jit_y)
+
+        q = jnp.tile(jnp.asarray(self.default_q)[None], (A, 1))
+        if dr_cfg.init_dof_pos_ratio_range is not None:
+            r = dr_cfg.init_dof_pos_ratio_range
+            ratio = jax.random.uniform(k3, (A, 12), minval=r[0], maxval=r[1])
+            q = q * ratio
+        vr = dr_cfg.init_base_vel_range
+        vel6 = jax.random.uniform(k4, (A, 6), minval=vr[0], maxval=vr[1])
+
+        agents = S.ActorState(
+            pos=pos, quat=quat, lin_vel=vel6[:, :3], ang_vel=vel6[:, 3:],
+            q=q, qd=jnp.zeros((A, 12)),
+        )
+
+        if N > 0:
+            npos = self.npc_init[:, :3]
+            nquat = self.npc_init[:, 3:7]
+            if dr_cfg.init_npc_base_pos_range is not None:
+                rx = dr_cfg.init_npc_base_pos_range["x"]
+                ry = dr_cfg.init_npc_base_pos_range["y"]
+                npos = npos.at[:, 0].add(jax.random.uniform(k5, (N,), minval=rx[0], maxval=rx[1]))
+                npos = npos.at[:, 1].add(jax.random.uniform(k6, (N,), minval=ry[0], maxval=ry[1]))
+            nq = jnp.tile(self.npc_default_q[None], (N, 1))
+            npcs = S.ActorState(
+                pos=npos, quat=nquat,
+                lin_vel=self.npc_init[:, 7:10], ang_vel=self.npc_init[:, 10:13],
+                q=nq, qd=jnp.zeros_like(nq),
+            )
+        else:
+            z = lambda *s: jnp.zeros(s, dtype=jnp.float32)
+            npcs = S.ActorState(z(0, 3), z(0, 4), z(0, 3), z(0, 3), z(0, 0), z(0, 0))
+
+        # domain randomization params
+        mu = jnp.asarray(1.0)
+        if dr_cfg.randomize_friction:
+            fr = dr_cfg.friction_range
+            mu = jax.random.uniform(k7, (), minval=fr[0], maxval=fr[1])
+        payload = jnp.zeros(A)
+        com_shift = jnp.zeros((A, 3))
+        motor = jnp.ones((A, 12))
+        if dr_cfg.randomize_base_mass:
+            mr = dr_cfg.added_mass_range
+            payload = jax.random.uniform(k8, (A,), minval=mr[0], maxval=mr[1])
+        kk = jax.random.split(k8, 3)
+        if dr_cfg.randomize_com:
+            cr = dr_cfg.com_range
+            com_shift = jnp.stack(
+                [
+                    jax.random.uniform(kk[0], (A,), minval=cr["x"][0], maxval=cr["x"][1]),
+                    jax.random.uniform(kk[1], (A,), minval=cr["y"][0], maxval=cr["y"][1]),
+                    jax.random.uniform(kk[2], (A,), minval=cr["z"][0], maxval=cr["z"][1]),
+                ],
+                axis=-1,
+            )
+        if dr_cfg.randomize_motor:
+            mr = dr_cfg.leg_motor_strength_range
+            motor = jax.random.uniform(kk[0], (A, 12), minval=mr[0], maxval=mr[1])
+        dr = S.DomainRand(mu_scale=mu, payload=payload, com_shift=com_shift, motor_strength=motor)
+        return agents, npcs, dr
+
+    def _offset_to_world(self, agents, npcs, e_idx):
+        """Shift spawn states by terrain origins for env index e_idx."""
+        ao = self.agent_origins[e_idx]  # (A, 3)
+        eo = self.env_origins[e_idx]    # (3,)
+        agents = agents.replace(pos=agents.pos + ao.at[:, 2].set(0.0))
+        if self.num_npcs > 0:
+            npcs = npcs.replace(pos=npcs.pos + eo.at[2].set(0.0)[None, :])
+        return agents, npcs
+
+    def _reset_all_impl(self, key):
+        E = self.num_envs
+        keys = jax.random.split(key, E)
+        agents, npcs, dr = jax.vmap(self._fresh_env_state)(keys)
+        agents, npcs = jax.vmap(self._offset_to_world)(agents, npcs, jnp.arange(E))
+        A = self.num_agents
+        H = self.hist_len
+        return EnvState(
+            phys=S.PhysState(agents=agents, npcs=npcs),
+            episode_length=jnp.zeros(E, dtype=jnp.int32),
+            gait_indices=jnp.zeros((E, A)),
+            clock_inputs=jnp.zeros((E, A, 4)),
+            loco_obs=jnp.zeros((E, A, 70)),
+            loco_hist=jnp.zeros((E, A, H * 70)),
+            last_loco_action=jnp.zeros((E, A, 12)),
+            last2_loco_action=jnp.zeros((E, A, 12)),
+            err_hist=jnp.zeros((E, A, 4, 12)),
+            dr=dr,
+            commands=jnp.zeros((E, A, 3)),
+            push_timer=jnp.zeros(E, dtype=jnp.int32),
+            steps_since_reset=jnp.zeros(E, dtype=jnp.int32),
+            done=jnp.zeros(E, dtype=bool),
+            collide=jnp.zeros(E, dtype=bool),
+            r_term=jnp.zeros(E, dtype=bool),
+            p_term=jnp.zeros(E, dtype=bool),
+        )
+
+    # ------------------------------------------------------------------
+    # stepping
+    # ------------------------------------------------------------------
+    def _locomotion_action(self, state: EnvState, commands):
+        """commands (E, A, 3) -> locomotion action (E, A, 12) + new clocks."""
+        cfg = self.cfg
+        gp = self.gait_params_static
+        E, A = self.num_envs, self.num_agents
+        gait_idx, idx, clock, dbl, half = step_gait_clocks(
+            state.gait_indices, self.dt,
+            jnp.asarray(gp["freq"]), jnp.asarray(gp["phases"]),
+            jnp.asarray(gp["offsets"]), jnp.asarray(gp["bounds"]),
+            jnp.asarray(gp["duration"]),
+        )
+        idx_legs = idx[..., jnp.asarray(CLOCK_TO_LEG)]
+
+        ag = state.phys.agents
+        r, p, _ = quat_ops.get_euler_xyz_wrapped(ag.quat)
+        yawq = quat_ops.yaw_quat(ag.quat)
+        v_yaw = quat_ops.quat_rotate_inverse(yawq, ag.lin_vel)
+
+        gait_arr = dict(
+            freq=jnp.full((E, A), gp["freq"]),
+            duration=jnp.full((E, A), gp["duration"]),
+            swing_height=jnp.full((E, A), gp["swing_height"]),
+            stance_width=jnp.full((E, A), gp["stance_width"]),
+            stance_length=jnp.full((E, A), gp["stance_length"]),
+            body_height_delta=jnp.full((E, A), gp["body_height_delta"]),
+        )
+        if self.backend == "trot" or self.body_policy_params is None:
+            action = self.trot(
+                commands, idx_legs, gait_arr, roll=r, pitch=p,
+                v_meas=v_yaw[..., :2], w_meas=ag.ang_vel[..., 2],
+            )
+            loco_obs = state.loco_obs
+            loco_hist = state.loco_hist
+        else:
+            loco_obs, loco_hist = self._fill_locomotion_obs(state, commands, clock)
+            from mqe_tpu.control.nets import mlp_apply
+
+            latent = self.adaptation(loco_hist)
+            action = mlp_apply(self.body_policy_params, jnp.concatenate([loco_hist, latent], -1))
+        clip_a = cfg.normalization.clip_actions
+        action = jnp.clip(action, -clip_a, clip_a)
+        return action, gait_idx, clock, loco_obs, loco_hist
+
+    def _fill_locomotion_obs(self, state: EnvState, commands, clock):
+        """Build the 70-dim walk-these-ways obs + roll history
+        (layout per ref go1.py:64-108, 411-479)."""
+        cfg = self.cfg
+        sc = cfg.control.obs_scales
+        dc = cfg.control.default_command
+        ag = state.phys.agents
+        E, A = self.num_envs, self.num_agents
+        g_body = quat_ops.quat_rotate_inverse(ag.quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), ag.quat.shape[:-1] + (3,)))
+        o = jnp.zeros((E, A, 70))
+        o = o.at[..., 0:3].set(g_body)
+        o = o.at[..., 3].set(commands[..., 0] * sc.lin_vel)
+        o = o.at[..., 4].set(commands[..., 1] * sc.lin_vel)
+        o = o.at[..., 5].set(commands[..., 2] * sc.ang_vel)
+        o = o.at[..., 6].set(dc.body_height * sc.body_height)
+        o = o.at[..., 7].set(dc.gait_freq * sc.gait_freq)
+        gait = cfg.command.gaits[dc.gait]
+        o = o.at[..., 8].set(gait[0] * sc.gait_phase)
+        o = o.at[..., 9].set(gait[1] * sc.gait_phase)
+        o = o.at[..., 10].set(gait[2] * sc.gait_phase)
+        o = o.at[..., 11].set(0.5 * sc.gait_phase)
+        o = o.at[..., 12].set(dc.footswing_height * sc.footswing_height)
+        o = o.at[..., 13].set(dc.body_pitch * sc.body_pitch)
+        o = o.at[..., 14].set(dc.body_roll * sc.body_roll)
+        o = o.at[..., 15].set(dc.stance_width * sc.stance_width)
+        o = o.at[..., 16].set(dc.stance_length * sc.stance_length)
+        o = o.at[..., 17].set(dc.aux_reward * sc.aux_reward)
+        dq = (ag.q - jnp.asarray(self.default_q)) * sc.dof_pos
+        o = o.at[..., 18:30].set(dq)
+        o = o.at[..., 30:42].set(ag.qd * sc.dof_vel)
+        o = o.at[..., 42:54].set(state.last_loco_action)
+        o = o.at[..., 54:66].set(state.last2_loco_action)
+        o = o.at[..., 66:70].set(clock)
+        hist = jnp.concatenate([state.loco_hist[..., 70:], o], axis=-1)
+        return o, hist
+
+    def _torques(self, state: EnvState, action):
+        """Locomotion action -> joint torques via actuator net
+        (ref go1.py:315-354)."""
+        scaled = action * self.action_scale * jnp.asarray(self.hip_scale)
+        target = scaled + jnp.asarray(self.default_q)
+        ag = state.phys.agents
+        err = ag.q - target
+        vel = ag.qd
+        h = state.err_hist  # (E, A, 4, 12): err_last, err_llast, vel_last, vel_llast
+        tau = self.actuator(err, h[..., 0, :], h[..., 1, :], vel, h[..., 2, :], h[..., 3, :])
+        if self.backend == "trot":
+            tau = tau - self.trot.TAU_KP * err - self.trot.TAU_KD * vel
+        tau = tau * state.dr.motor_strength
+        tl = jnp.asarray(self.torque_limits)
+        tau = jnp.clip(tau, -tl, tl)
+        new_hist = jnp.stack([err, h[..., 0, :], vel, h[..., 2, :]], axis=-2)
+        return tau, new_hist, target
+
+    def _physics(self, state: EnvState, tau):
+        """One decimation substep: subiters x scene.substep, vmapped over E."""
+        npc_nq = self.npc.nq if (self.npc is not None and self.npc_has_collision) else 0
+        npc_tau = jnp.zeros((self.num_envs, self.scene.num_npcs, npc_nq))
+
+        def one(phys, tau_e, npc_tau_e, dr_e, boxes_e, sg_e):
+            t = S.Terrain(
+                height=self.hf, origin=self.hf_origin, scale=self.hf_scale,
+                boxes=boxes_e, static_geoms=sg_e,
+            )
+            contacts = None
+            for _ in range(self.subiters):
+                phys, contacts = S.substep(
+                    self.scene, t, phys, tau_e, npc_tau_e, dr_e,
+                    self.sim_dt / self.subiters,
+                )
+            return phys, contacts
+
+        phys, contacts = jax.vmap(one)(
+            state.phys, tau, npc_tau, state.dr, self.env_boxes, self.static_geoms
+        )
+        return phys, contacts
+
+    def _termination(self, state: EnvState, contacts):
+        """Reference termination: contact on base + roll/pitch/z terms +
+        timeout (ref legged_robot.py:159-169, legged_robot_field.py:121-146)."""
+        cfg = self.cfg
+        ag = state.phys.agents
+        E, A = self.num_envs, self.num_agents
+
+        cforce = jnp.linalg.norm(contacts.sphere_force, axis=-1)  # (E, A, ns)
+        if self.term_sph.any():
+            term_mask = jnp.asarray(self.term_sph)
+            collide = ((cforce * term_mask[None, None, :]) > 1.0).any(axis=(-1, -2))
+        else:
+            collide = jnp.zeros(E, dtype=bool)
+        reset = collide
+
+        r, p, _ = quat_ops.get_euler_xyz_wrapped(ag.quat)
+        z_rel = ag.pos[..., 2] - self.agent_origins[..., 2]
+        terms = cfg.termination.termination_terms
+        r_term = jnp.zeros(E, dtype=bool)
+        p_term = jnp.zeros(E, dtype=bool)
+        if "roll" in terms:
+            r_term = (jnp.abs(r) > cfg.termination.roll_kwargs["threshold"]).any(axis=-1)
+            reset = reset | r_term
+        if "pitch" in terms:
+            p_term = (jnp.abs(p) > cfg.termination.pitch_kwargs["threshold"]).any(axis=-1)
+            reset = reset | p_term
+        if "z_low" in terms:
+            reset = reset | (z_rel < cfg.termination.z_low_kwargs["threshold"]).any(axis=-1)
+        if "z_high" in terms:
+            reset = reset | (z_rel > cfg.termination.z_high_kwargs["threshold"]).any(axis=-1)
+        timeout = state.episode_length >= self.max_episode_length
+        return reset | timeout, collide, r_term, p_term, timeout
+
+    def _observations(self, state: EnvState) -> ObsBuf:
+        cfg = self.cfg
+        sc = cfg.normalization.obs_scales
+        ag = state.phys.agents
+        origins = self.env_origins[:, None, :]  # (E,1,3)
+        r, p, y = quat_ops.get_euler_xyz(ag.quat)
+        g_body = quat_ops.quat_rotate_inverse(
+            ag.quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), ag.quat.shape[:-1] + (3,))
+        )
+        return ObsBuf(
+            base_pos=(ag.pos - origins),
+            base_quat=ag.quat,
+            base_rpy=jnp.stack([r, p, y], axis=-1),
+            lin_vel=quat_ops.quat_rotate_inverse(ag.quat, ag.lin_vel) * sc.lin_vel,
+            ang_vel=quat_ops.quat_rotate_inverse(ag.quat, ag.ang_vel) * sc.ang_vel,
+            dof_pos=(ag.q - jnp.asarray(self.default_q)) * sc.dof_pos,
+            dof_vel=ag.qd * sc.dof_vel,
+            projected_gravity=g_body,
+            clock_inputs=state.clock_inputs,
+            last_action=state.last_loco_action,
+            last_last_action=state.last2_loco_action,
+            env_info=self.env_info,
+        )
+
+    def _npc_script(self, state: EnvState, key):
+        """Scripted NPC dynamics at control rate (sheep flee, ref
+        go1_sheep.py:35-64). Returns updated npcs state."""
+        if self.npc_behavior != "sheep" or self.num_npcs == 0:
+            return state.phys.npcs
+        cfg = self.cfg
+        N = self.num_npcs
+        nc = state.phys.npcs
+        ag = state.phys.agents
+        dog = ag.pos                      # (E, A, 3)
+        sheep = nc.pos                    # (E, N, 3)
+        avg = sheep.mean(axis=1, keepdims=True)
+        rnd = cfg.asset.sheep_movement_randomness
+        dv = rnd * 2.0 * jax.random.normal(key, sheep.shape)
+        if N != 1:
+            rel = avg - sheep
+            dv = dv + rnd * rel / (jnp.linalg.norm(rel, axis=-1, keepdims=True) + 1e-9) / 1.5
+        scale = cfg.asset.sheep_movement_scale
+        for i in range(self.num_agents):
+            rel = sheep - dog[:, i : i + 1, :]
+            # ref relative_pos_to_dv: dis = |rel|^2 (norm of squared coords);
+            # dv = rel / dis^1.4, zeroed beyond range (go1_sheep.py:14-18)
+            dis = jnp.linalg.norm(rel**2, axis=-1)
+            contrib = rel / (dis[..., None] ** 1.4 + 1e-9)
+            contrib = jnp.where((dis > 9.0)[..., None], 0.0, contrib)
+            dv = dv + scale * contrib
+        dv = dv.at[..., 2].set(0.0)
+        lin = nc.lin_vel + dv
+        lin = lin.at[..., :2].set(jnp.clip(lin[..., :2], -2.0, 2.0))
+        pos = nc.pos.at[..., 2].set(jnp.clip(nc.pos[..., 2], 0.0, 0.3))
+        quat = nc.quat.at[..., 0].set(0.0).at[..., 1].set(0.0)
+        quat = quat_ops.quat_normalize(quat)
+        return nc.replace(lin_vel=lin, pos=pos, quat=quat)
+
+    def _defender_commands(self, state: EnvState):
+        """Scripted football defender command (3rd agent), ref
+        go1_football_defender.py:56-80."""
+        cfg = self.cfg
+        ag = state.phys.agents
+        dpos = ag.pos[:, 2, :]              # defender = 3rd agent
+        ball = state.phys.npcs.pos[:, 0, :]
+        bt = cfg.terrain.BarrierTrack_kwargs
+        gate = self.env_origins + jnp.asarray(
+            [bt["init"]["block_length"] + bt["plane"]["block_length"], 0.0, 0.0]
+        )
+        target = 0.6 * ball + 0.4 * gate
+        _, _, dyaw = quat_ops.get_euler_xyz_wrapped(ag.quat[:, 2])
+        to_gate = gate - dpos
+        yaw_to_gate = jnp.pi + jnp.arctan(to_gate[:, 1] / (to_gate[:, 0] + 1e-9))
+        yaw_cmd = jnp.clip(yaw_to_gate - dyaw, -0.3, 0.3) / 0.3
+        tg_dist = jnp.linalg.norm((target - gate)[:, :2], axis=-1)
+        d_dist = jnp.linalg.norm((dpos - gate)[:, :2], axis=-1)
+        x_cmd = jnp.clip(tg_dist - d_dist, -0.5, 0.5)
+        y_cmd = -jnp.clip(
+            gate[:, 1]
+            + (target[:, 1] - gate[:, 1]) * (dpos[:, 0] - gate[:, 0]) / (target[:, 0] - gate[:, 0] + 1e-9)
+            - dpos[:, 1],
+            -0.5, 0.5,
+        )
+        return jnp.stack([x_cmd, y_cmd, yaw_cmd], axis=-1)
+
+    def _step_impl(self, state: EnvState, commands, key):
+        """Pure control-rate step. commands: (E, A_cmd, 3)."""
+        cfg = self.cfg
+        E, A = self.num_envs, self.num_agents
+        k_npc, k_push, k_reset = jax.random.split(key, 3)
+
+        if self.npc_behavior == "defender":
+            dcmd = self._defender_commands(state)
+            commands = jnp.concatenate([commands, dcmd[:, None, :]], axis=1)
+        # reference clips incoming (pre-scaled) commands to [-1, 1]
+        # (ref go1.py:38: torch.clip(action, -1, 1) after wrapper scaling)
+        commands = jnp.clip(commands, -1.0, 1.0)
+
+        action, gait_idx, clock, loco_obs, loco_hist = self._locomotion_action(state, commands)
+        state = state.replace(
+            gait_indices=gait_idx, clock_inputs=clock,
+            loco_obs=loco_obs, loco_hist=loco_hist,
+            last2_loco_action=state.last_loco_action,
+            last_loco_action=action,
+            commands=commands,
+        )
+
+        # decimation loop
+        contacts = None
+        for _ in range(self.decimation):
+            tau, err_hist, _ = self._torques(state, action)
+            phys, contacts = self._physics(state, tau)
+            state = state.replace(phys=phys, err_hist=err_hist)
+
+        # scripted NPCs (control rate, like reference _step_npc in post_physics)
+        npcs = self._npc_script(state, k_npc)
+        state = state.replace(phys=state.phys.replace(npcs=npcs))
+
+        # push robots
+        if cfg.domain_rand.push_robots:
+            interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
+            push_now = (state.push_timer % interval) == (interval - 1)
+            mv = cfg.domain_rand.max_push_vel_xy
+            push_vel = jax.random.uniform(k_push, (E, A, 2), minval=-mv, maxval=mv)
+            ag = state.phys.agents
+            new_lv = jnp.where(
+                push_now[:, None, None], ag.lin_vel.at[..., :2].set(push_vel), ag.lin_vel
+            )
+            state = state.replace(phys=state.phys.replace(agents=ag.replace(lin_vel=new_lv)))
+
+        state = state.replace(
+            episode_length=state.episode_length + 1,
+            push_timer=state.push_timer + 1,
+        )
+
+        # termination + masked auto-reset
+        done, collide, r_term, p_term, timeout = self._termination(state, contacts)
+        fresh = self._reset_all(k_reset)
+
+        def sel(new, old):
+            if new.ndim == 0:
+                return old
+            mask = done.reshape((E,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        state = jax.tree.map(sel, fresh, state)
+        state = state.replace(
+            done=done, collide=collide, r_term=r_term, p_term=p_term,
+        )
+
+        obs = self._observations(state)
+        info = {
+            "time_outs": timeout,
+            "reset_mask": done,
+            "episode_length": state.episode_length,
+        }
+        return state, obs, done, info
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def reset(self, key) -> tuple[EnvState, ObsBuf]:
+        state = self._reset_all(key)
+        return state, self._observations(state)
+
+    def step(self, state, commands, key):
+        return self._step(state, commands, key)
+
+    def load_locomotion_policy(self, params):
+        """Install trained body-policy params (walk-these-ways stack)."""
+        self.body_policy_params = params
+        self._step = jax.jit(self._step_impl)

