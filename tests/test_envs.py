@@ -1,0 +1,102 @@
+"""Env + wrapper behavior tests (shared compiled fixtures to bound CPU
+compile time; deeper cross-task behavior is exercised by scripts/demo and the
+all-task smoke)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mqe_tpu.envs import ENV_DICT, make_mqe_env
+
+EXPECTED_TASKS = {
+    "go1plane", "go1gate", "go1sheep-easy", "go1sheep-hard",
+    "go1football-defender", "go1football-1vs1", "go1football-2vs2",
+    "go1seesaw", "go1pushbox", "go1tug", "go1wrestling",
+    "go1revolvingdoor", "go1bridge", "go1door",
+}
+
+
+def test_registry_complete():
+    # all 13 reference ENV_DICT tasks (ref mqe/envs/utils.py:38-109) plus the
+    # unregistered door task
+    assert EXPECTED_TASKS <= set(ENV_DICT.keys())
+
+
+@pytest.fixture(scope="module")
+def gate():
+    wrap, cfg = make_mqe_env("go1gate", num_envs=2, seed=0)
+    key = jax.random.PRNGKey(0)
+    ts, obs = wrap.reset(key)
+    return wrap, ts, obs
+
+
+def test_gate_reset_layout(gate):
+    wrap, ts, obs = gate
+    E, A = 2, 2
+    assert obs.shape == (E, A, wrap.obs_dim)
+    # agents spawn inside the init block rooms (x in [0, 2], distinct y rooms)
+    pos = np.asarray(ts.env.phys.agents.pos - wrap.env.env_origins[:, None, :])
+    assert ((pos[..., 0] > 0) & (pos[..., 0] < 2.0)).all(), pos
+    assert abs(pos[0, 0, 1] - pos[0, 1, 1]) > 1.0
+    # one-hot ids lead the obs vector
+    o = np.asarray(obs)
+    np.testing.assert_allclose(o[0, 0, :2], [1, 0], atol=1e-6)
+    np.testing.assert_allclose(o[0, 1, :2], [0, 1], atol=1e-6)
+
+
+def test_gate_step_and_reward_terms(gate):
+    wrap, ts, obs = gate
+    key = jax.random.PRNGKey(1)
+    acts = jnp.zeros((2, 2, 3)).at[..., 0].set(1.0)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        ts, obs, rew, done, info = wrap.step(ts, acts, k)
+    assert rew.shape == (2, 2)
+    assert set(info["reward_terms"].keys()) == {
+        "target reward", "success reward", "contact punishment",
+        "agent distance punishment",
+    }
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_gate_timeout_autoreset(gate):
+    wrap, ts, obs = gate
+    # force an imminent timeout by setting episode_length near the cap
+    cap = wrap.env.max_episode_length
+    ts = ts.replace(env=ts.env.replace(
+        episode_length=jnp.full((2,), cap, dtype=jnp.int32)
+    ))
+    key = jax.random.PRNGKey(2)
+    acts = jnp.zeros((2, 2, 3))
+    ts, obs, rew, done, info = wrap.step(ts, acts, key)
+    assert bool(np.asarray(done).all())
+    assert bool(np.asarray(info["time_outs"]).all())
+    # auto-reset: episode counter back to zero
+    assert (np.asarray(ts.env.episode_length) == 0).all()
+
+
+def test_gate_deterministic_step(gate):
+    wrap, ts, obs = gate
+    key = jax.random.PRNGKey(3)
+    acts = jnp.zeros((2, 2, 3)).at[..., 0].set(0.5)
+    ts1, obs1, r1, d1, _ = wrap.step(ts, acts, key)
+    ts2, obs2, r2, d2, _ = wrap.step(ts, acts, key)
+    np.testing.assert_array_equal(np.asarray(obs1), np.asarray(obs2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_gate_commands_move_robot(gate):
+    wrap, ts, obs = gate
+    key = jax.random.PRNGKey(4)
+    acts = jnp.zeros((2, 2, 3)).at[..., 0].set(1.0)
+    x0 = np.asarray(ts.env.phys.agents.pos[..., 0]).copy()
+    for _ in range(75):  # 1.5 s
+        key, k = jax.random.split(key)
+        ts, obs, rew, done, info = wrap.step(ts, acts, k)
+    x1 = np.asarray(ts.env.phys.agents.pos[..., 0])
+    assert (x1 - x0).mean() > 0.2, (x0, x1)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
