@@ -79,3 +79,29 @@ class AdaptationModule:
     def __call__(self, obs_history):
         """(..., 2100) -> latent (..., 2)."""
         return mlp_apply(self.params, obs_history)
+
+
+def load_body_policy(path):
+    """Load a trained body-policy npz (from learn/train_locomotion.py) into a
+    callable obs70 -> action12 (deterministic actor mean)."""
+    import numpy as _np
+
+    d = _np.load(path)
+    layers = []
+    i = 0
+    while f"params/actor/Dense_{i}/kernel" in d:
+        layers.append(
+            (jnp.asarray(d[f"params/actor/Dense_{i}/kernel"]),
+             jnp.asarray(d[f"params/actor/Dense_{i}/bias"]))
+        )
+        i += 1
+
+    def apply(obs):
+        h = obs
+        for j, (w, b) in enumerate(layers):
+            h = h @ w + b
+            if j < len(layers) - 1:
+                h = elu(h)
+        return h
+
+    return apply

@@ -400,15 +400,18 @@ class Go1Env:
             stance_length=jnp.full((E, A), gp["stance_length"]),
             body_height_delta=jnp.full((E, A), gp["body_height_delta"]),
         )
+        loco_obs, loco_hist = self._fill_locomotion_obs(state, commands, clock)
         if self.backend == "trot" or self.body_policy_params is None:
             action = self.trot(
                 commands, idx_legs, gait_arr, roll=r, pitch=p,
                 v_meas=v_yaw[..., :2], w_meas=ag.ang_vel[..., 2],
             )
-            loco_obs = state.loco_obs
-            loco_hist = state.loco_hist
+        elif callable(self.body_policy_params):
+            # in-framework trained body policy: obs70 -> action12
+            action = self.body_policy_params(loco_obs)
         else:
-            loco_obs, loco_hist = self._fill_locomotion_obs(state, commands, clock)
+            # original walk-these-ways stack: adaptation(hist) -> latent,
+            # body(hist || latent) -> action (ref go1.py:400-407)
             from mqe_tpu.control.nets import mlp_apply
 
             latent = self.adaptation(loco_hist)
@@ -450,7 +453,10 @@ class Go1Env:
         o = o.at[..., 42:54].set(state.last_loco_action)
         o = o.at[..., 54:66].set(state.last2_loco_action)
         o = o.at[..., 66:70].set(clock)
-        hist = jnp.concatenate([state.loco_hist[..., 70:], o], axis=-1)
+        if self.hist_len > 0:
+            hist = jnp.concatenate([state.loco_hist[..., 70:], o], axis=-1)
+        else:
+            hist = state.loco_hist
         return o, hist
 
     def _torques(self, state: EnvState, action):
@@ -481,12 +487,16 @@ class Go1Env:
                 height=self.hf, origin=self.hf_origin, scale=self.hf_scale,
                 boxes=boxes_e, static_geoms=sg_e,
             )
-            contacts = None
-            for _ in range(self.subiters):
+
+            def sub(phys, _):
                 phys, contacts = S.substep(
                     self.scene, t, phys, tau_e, npc_tau_e, dr_e,
                     self.sim_dt / self.subiters,
                 )
+                return phys, contacts
+
+            phys, contacts_seq = jax.lax.scan(sub, phys, None, length=self.subiters)
+            contacts = jax.tree.map(lambda x: x[-1], contacts_seq)
             return phys, contacts
 
         phys, contacts = jax.vmap(one)(
@@ -634,12 +644,14 @@ class Go1Env:
             commands=commands,
         )
 
-        # decimation loop
-        contacts = None
-        for _ in range(self.decimation):
-            tau, err_hist, _ = self._torques(state, action)
-            phys, contacts = self._physics(state, tau)
-            state = state.replace(phys=phys, err_hist=err_hist)
+        # decimation loop (scanned: keeps the compiled graph 4x smaller)
+        def dec_body(st, _):
+            tau, err_hist, _ = self._torques(st, action)
+            phys, contacts = self._physics(st, tau)
+            return st.replace(phys=phys, err_hist=err_hist), contacts
+
+        state, contacts_seq = jax.lax.scan(dec_body, state, None, length=self.decimation)
+        contacts = jax.tree.map(lambda x: x[-1], contacts_seq)
 
         # scripted NPCs (control rate, like reference _step_npc in post_physics)
         npcs = self._npc_script(state, k_npc)

@@ -133,6 +133,15 @@ class TaskWrapper:
         """Hook for competitive wrappers that mirror agent 1's actions."""
         return actions
 
+    def observe(self, ts) -> jnp.ndarray:
+        """Task observation from a TaskState (used by the RL loop)."""
+        return self._obs(ts.env, self.env._observations(ts.env), ts.extra)
+
+    def rl_prescale(self, action):
+        """Network output -> wrapper action space. The reference applies a
+        0.5 pre-scale at the RL boundary (ref openrl_ws/utils.py:59)."""
+        return 0.5 * jnp.tanh(action)
+
     def step(self, ts, actions, key):
         return self._step_jit(ts, actions, key)
 

@@ -1,0 +1,90 @@
+"""Policy evaluation CLI (ref openrl_ws/test.py:48-99): load a checkpoint,
+roll out, report per-episode returns; optionally record a video.
+
+  python -m mqe_tpu.learn.evaluate --task go1gate \
+      --checkpoint ./checkpoints/go1gate_ppo --episodes 5 --video out.gif
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="go1gate")
+    p.add_argument("--checkpoint", required=False, default=None)
+    p.add_argument("--num-envs", type=int, default=4)
+    p.add_argument("--episodes", type=int, default=2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--video", default=None, help="output GIF path (env 0)")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mqe_tpu.envs import make_mqe_env
+    from mqe_tpu.learn.networks import ActorCritic
+
+    wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
+    A = getattr(wrap, "controlled_agents", wrap.num_agents)
+    net = ActorCritic(action_dim=wrap.action_dim)
+
+    params = None
+    if args.checkpoint:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        params = ckpt.restore(args.checkpoint)["params"]
+        print(f"loaded checkpoint {args.checkpoint}")
+
+    key = jax.random.PRNGKey(args.seed)
+    ts, obs = wrap.reset(key)
+
+    @jax.jit
+    def act(params, obs):
+        mean, log_std, value = net.apply(params, obs)
+        return wrap.rl_prescale(mean)
+
+    frames = []
+    renderer = None
+    if args.video:
+        from mqe_tpu.render.topdown import TopDownRenderer
+
+        renderer = TopDownRenderer(wrap.env)
+
+    ep_returns = np.zeros((args.num_envs,))
+    finished_returns = []
+    max_steps = args.episodes * wrap.env.max_episode_length
+    for i in range(max_steps):
+        key, k = jax.random.split(key)
+        if params is not None:
+            actions = act(params, obs)
+        else:
+            actions = jnp.zeros((args.num_envs, A, 3)).at[..., 0].set(0.5)
+        ts, obs, rew, done, info = wrap.step(ts, actions, k)
+        ep_returns += np.asarray(rew).mean(axis=-1)
+        d = np.asarray(done)
+        if d.any():
+            finished_returns.extend(ep_returns[d].tolist())
+            ep_returns[d] = 0.0
+        if renderer is not None and i % 2 == 0:
+            frames.append(renderer.render(ts.env, env_idx=0))
+        if len(finished_returns) >= args.episodes * args.num_envs:
+            break
+
+    print(
+        f"episodes={len(finished_returns)} "
+        f"mean_return={np.mean(finished_returns) if finished_returns else float(np.mean(ep_returns)):.3f}"
+    )
+    if renderer is not None and frames:
+        renderer.save_gif(frames, args.video)
+        print(f"wrote {args.video} ({len(frames)} frames)")
+
+
+if __name__ == "__main__":
+    main()

@@ -100,12 +100,10 @@ class PPOTrainer:
         def step(carry, _):
             env_state, key = carry
             key, k_act, k_env = jax.random.split(key, 3)
-            obs = self.w._obs(env_state.env, self.w.env._observations(env_state.env), env_state.extra)
+            obs = self.w.observe(env_state)
             action, logp, value = self._policy(ts.params, obs, k_act)
-            # reference applies 0.5 pre-scale at the RL boundary
-            # (ref openrl_ws/utils.py:59: 0.5 * actions)
             env_state, next_obs, reward, done, info = self.w._step_impl(
-                env_state, 0.5 * jnp.tanh(action), k_env
+                env_state, self.w.rl_prescale(action), k_env
             )
             if cfg.algo == "jrpo":
                 reward = reward.mean(axis=-1, keepdims=True).repeat(reward.shape[-1], -1)
@@ -118,7 +116,7 @@ class PPOTrainer:
         (env_state, key), traj = jax.lax.scan(
             step, (ts.env_state, ts.key), None, length=cfg.rollout_len
         )
-        final_obs = self.w._obs(env_state.env, self.w.env._observations(env_state.env), env_state.extra)
+        final_obs = self.w.observe(env_state)
         _, _, final_value = self.net.apply(ts.params, final_obs)
         return env_state, key, traj, final_value
 

@@ -1,0 +1,63 @@
+"""Train the low-level locomotion (body) policy with PPO.
+
+Produces a replacement for the reference's missing walk-these-ways body blob
+(ref .MISSING_LARGE_BLOBS:2-3): a 70-dim-obs -> 12-action MLP usable as the
+`policy` locomotion backend of Go1Env.
+
+  python -m mqe_tpu.learn.train_locomotion --num-envs 1024 \
+      --train-timesteps 20000000 --out mqe_tpu/assets/body_policy.npz
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-envs", type=int, default=1024)
+    p.add_argument("--train-timesteps", type=int, default=10_000_000)
+    p.add_argument("--rollout-len", type=int, default=32)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="mqe_tpu/assets/body_policy.npz")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from mqe_tpu.learn.locomotion_env import LocomotionEnv
+    from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
+
+    env = LocomotionEnv(num_envs=args.num_envs, seed=args.seed)
+    trainer = PPOTrainer(
+        env,
+        PPOConfig(lr=args.lr, rollout_len=args.rollout_len, ent_coef=1e-3),
+        seed=args.seed,
+    )
+    print(f"locomotion training: envs={args.num_envs}", flush=True)
+
+    def cb(m):
+        print(json.dumps(m), flush=True)
+
+    t0 = time.time()
+    ts, history = trainer.train(args.train_timesteps, callback=cb)
+    print(f"done in {time.time() - t0:.0f}s", flush=True)
+
+    # flatten flax params -> npz
+    flat = jax.tree_util.tree_flatten_with_path(ts.params)[0]
+    out = {}
+    for path, leaf in flat:
+        name = "/".join(str(k.key) for k in path)
+        out[name] = np.asarray(leaf)
+    np.savez(args.out, **out)
+    print(f"saved body policy params to {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

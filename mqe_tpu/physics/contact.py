@@ -108,14 +108,15 @@ def sphere_box(pos, vel, radius, center, half, params, mu_scale=1.0, box_vel=Non
     n_out = delta / (dist[..., None] + 1e-9)
     depth_out = radius - dist
 
-    # inside: push out along the face with least penetration
+    # inside: push out along the face with least penetration. Gather-free
+    # one-hot (comparisons only) — dynamic-index gathers scalarize on TPU.
     gap = half - jnp.abs(rel)  # (..., 3), >=0 when inside
-    axis = jnp.argmin(gap, axis=-1)
-    sign = jnp.sign(jnp.take_along_axis(rel, axis[..., None], axis=-1))[..., 0]
-    sign = jnp.where(sign == 0, 1.0, sign)
-    one_hot = jnp.eye(3, dtype=pos.dtype)[axis]
-    n_in = one_hot * sign[..., None]
-    depth_in = jnp.min(gap, axis=-1) + radius
+    min_gap = jnp.min(gap, axis=-1, keepdims=True)
+    is_min = (gap <= min_gap).astype(pos.dtype)
+    is_min = is_min / jnp.sum(is_min, axis=-1, keepdims=True)
+    sign = jnp.where(rel >= 0, 1.0, -1.0)
+    n_in = is_min * sign
+    depth_in = min_gap[..., 0] + radius
 
     n = jnp.where(outside[..., None], n_out, n_in)
     depth = jnp.where(outside, depth_out, depth_in)
