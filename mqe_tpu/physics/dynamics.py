@@ -165,9 +165,9 @@ def forward_dynamics_kin(
         IA[par] = IA[par] + X.T @ Ia @ X
         pA[par] = pA[par] + X.T @ pa
 
-    # root
+    # root (unrolled SPD Cholesky — batched LU scalarizes on TPU)
     if model.root_free:
-        a0 = jnp.linalg.solve(IA[0] + 1e-9 * jnp.eye(6, dtype=q.dtype), -pA[0])
+        a0 = spatial.solve_spd6(IA[0] + 1e-9 * jnp.eye(6, dtype=q.dtype), -pA[0])
     else:
         a0 = jnp.zeros(6, dtype=q.dtype)
 

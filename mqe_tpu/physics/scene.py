@@ -109,27 +109,42 @@ def _sphere_world(model: BodyModel, Rw, pw, vw):
 
     Rw: (nb,3,3), pw: (nb,3), vw: (nb,6). Returns (ns,3), (ns,3).
     """
-    body = jnp.asarray(model.sph_body)
-    sp = jnp.asarray(model.sph_pos, dtype=pw.dtype)
-    Rb = Rw[body]                     # (ns,3,3)
-    pb = pw[body]                     # (ns,3)
-    x = pb + jnp.einsum("nij,nj->ni", Rb, sp)
-    w = vw[body, :3]
-    v0 = vw[body, 3:]
+    # gather-free: spheres-per-body via constant one-hot matmuls (TPU)
+    Mt = jnp.asarray(_sphere_onehot(model), dtype=pw.dtype).T  # (ns, nb)
+    Rb = (Mt @ Rw.reshape(model.nb, 9)).reshape(-1, 3, 3)
+    pb = Mt @ pw
+    x = pb + jnp.einsum("nij,nj->ni", Rb, jnp.asarray(model.sph_pos, dtype=pw.dtype))
+    w = Mt @ vw[:, :3]
+    v0 = Mt @ vw[:, 3:]
     v = v0 + jnp.cross(w, x - pb)
     return x, v
+
+
+_SPH_ONEHOT_CACHE: dict = {}
+
+
+def _sphere_onehot(model: BodyModel):
+    """(nb, ns) constant 0/1 matrix mapping spheres to their bodies."""
+    key = id(model)
+    if key not in _SPH_ONEHOT_CACHE:
+        m = np.zeros((model.nb, len(model.sph_tags)), dtype=np.float32)
+        m[model.sph_body, np.arange(len(model.sph_tags))] = 1.0
+        _SPH_ONEHOT_CACHE[key] = m
+    return _SPH_ONEHOT_CACHE[key]
 
 
 def _accumulate_wrench(model: BodyModel, pw, sph_x, force):
     """Per-sphere world forces -> per-body world wrench about body origin.
 
     pw: (nb,3); sph_x: (ns,3); force: (ns,3). Returns (nb,6).
+    Scatter-free: one-hot matmul instead of segment_sum (TPU scatters are
+    scalarized; this is a small MXU matmul).
     """
-    body = jnp.asarray(model.sph_body)
-    arm = sph_x - pw[body]
+    M = jnp.asarray(_sphere_onehot(model), dtype=force.dtype)
+    arm = sph_x - M.T @ pw
     torque = jnp.cross(arm, force)
-    n = jax.ops.segment_sum(torque, body, num_segments=model.nb)
-    f = jax.ops.segment_sum(force, body, num_segments=model.nb)
+    n = M @ torque
+    f = M @ force
     return jnp.concatenate([n, f], axis=-1)
 
 

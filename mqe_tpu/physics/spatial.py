@@ -58,6 +58,42 @@ def cross_force(v, F):
     )
 
 
+def solve_spd6(A, b):
+    """Solve A x = b for SPD 6x6 A via fully unrolled Cholesky.
+
+    jnp.linalg.solve's batched LU scalarizes on TPU; this is pure elementwise
+    ops that vectorize over any batch dims. A: (..., 6, 6), b: (..., 6).
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def spatial_inertia(mass, com, inertia_com):
     """6x6 spatial inertia at the body-frame origin.
 
