@@ -64,7 +64,9 @@ class Go1Cfg:
         gravity = (0.0, 0.0, -9.81)
 
     class terrain:
-        mesh_type = "BarrierTrack"     # or "plane"
+        mesh_type = "BarrierTrack"     # plane | BarrierTrack | heightfield | trimesh
+        selected = "BarrierTrack"      # named terrain builder (BarrierTrack |
+        #                                TerrainPerlin | Legacy)
         horizontal_scale = 0.025
         border_size = 1.0
         num_rows = 1

@@ -104,12 +104,19 @@ class Go1Env:
         )
         self.action_scale = cfg.control.action_scale
 
-        # ---- terrain ----
+        # ---- terrain (dispatch mirrors ref _create_terrain
+        # legged_robot.py:959-970 + field terrain registry) ----
         if cfg.terrain.mesh_type == "plane":
             self.build = plane_terrain(E, A, cfg.terrain.env_spacing)
         else:
+            from mqe_tpu.terrain import get_terrain_builder
+
             tcfg = class_to_dict(cfg.terrain)
-            self.build = BarrierTrackBuilder(tcfg, A).build(seed=seed)
+            selected = getattr(cfg.terrain, "selected", "BarrierTrack") or "Legacy"
+            builder = get_terrain_builder(
+                selected if selected is not True else "BarrierTrack"
+            )
+            self.build = builder(tcfg, A).build(seed=seed)
         R, Cc = self.build.env_origins.shape[:2]
         rng = np.random.default_rng(seed + 1)
         rows = rng.integers(0, R, size=E)

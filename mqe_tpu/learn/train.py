@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="./checkpoints")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--log-file", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint path to resume params from")
+    p.add_argument("--profile-dir", default=None, help="capture a jax profiler trace here")
     args = p.parse_args(argv)
 
     import jax
@@ -57,8 +59,21 @@ def main(argv=None):
             logf.write(line + "\n")
             logf.flush()
 
+    if args.resume:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
+        trainer.init_params = restored["params"]
+        print(f"resumed params from {args.resume}", flush=True)
+
     t0 = time.time()
-    ts, history = trainer.train(args.train_timesteps, callback=cb)
+    if args.profile_dir:
+        from mqe_tpu.utils.metrics import profile_trace
+
+        with profile_trace(args.profile_dir):
+            ts, history = trainer.train(args.train_timesteps, callback=cb)
+    else:
+        ts, history = trainer.train(args.train_timesteps, callback=cb)
     wall = time.time() - t0
     print(f"trained {args.train_timesteps} env steps in {wall:.0f}s "
           f"({args.train_timesteps / wall:.0f} steps/s)", flush=True)

@@ -14,4 +14,8 @@ def get_terrain_builder(name: str):
         from mqe_tpu.terrain.perlin_terrain import PerlinTerrainBuilder
 
         return PerlinTerrainBuilder
+    if name in ("Legacy", "heightfield", "trimesh"):
+        from mqe_tpu.terrain.legacy import LegacyTerrainBuilder
+
+        return LegacyTerrainBuilder
     raise KeyError(f"unknown terrain builder {name}")
