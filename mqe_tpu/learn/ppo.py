@@ -117,8 +117,12 @@ class PPOTrainer:
             step, (ts.env_state, ts.key), None, length=cfg.rollout_len
         )
         final_obs = self.w.observe(env_state)
-        _, _, final_value = self.net.apply(ts.params, final_obs)
+        final_value = self._value(ts.params, final_obs)
         return env_state, key, traj, final_value
+
+    def _value(self, params, obs):
+        _, _, value = self.net.apply(params, obs)
+        return value
 
     def _gae(self, traj, final_value):
         cfg = self.cfg

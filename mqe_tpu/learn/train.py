@@ -3,8 +3,8 @@
   python -m mqe_tpu.learn.train --task go1gate --algo ppo --num-envs 512 \
       --train-timesteps 40000000 --checkpoint-dir ./checkpoints
 
-Algorithms: ppo, jrpo, dppo (OpenRL menu minus MAT/sppo, ref train.py:25-51;
-MAT is tracked as future work). Checkpoints are orbax pytrees.
+Algorithms: ppo, jrpo, dppo, mat (OpenRL menu, ref train.py:25-51).
+Checkpoints are orbax pytrees.
 """
 from __future__ import annotations
 
@@ -17,7 +17,7 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="go1gate")
-    p.add_argument("--algo", default="ppo", choices=["ppo", "jrpo", "dppo"])
+    p.add_argument("--algo", default="ppo", choices=["ppo", "jrpo", "dppo", "mat"])
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--train-timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
@@ -39,11 +39,13 @@ def main(argv=None):
     from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
 
     wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
-    trainer = PPOTrainer(
-        wrap,
-        PPOConfig(algo=args.algo, lr=args.lr, rollout_len=args.rollout_len),
-        seed=args.seed,
-    )
+    pcfg = PPOConfig(algo=args.algo, lr=args.lr, rollout_len=args.rollout_len)
+    if args.algo == "mat":
+        from mqe_tpu.learn.mat import MATTrainer
+
+        trainer = MATTrainer(wrap, pcfg, seed=args.seed)
+    else:
+        trainer = PPOTrainer(wrap, pcfg, seed=args.seed)
     print(
         f"task={args.task} algo={args.algo} envs={trainer.E} agents={trainer.A} "
         f"obs_dim={trainer.obs_dim}",
