@@ -88,6 +88,7 @@ class SceneModel:
     npc_root_free: bool = True
     contact: C.ContactParams = C.DEFAULT_PARAMS
     self_collision: bool = True
+    use_pallas: bool = False   # fused Pallas kernel for sphere-vs-box contact
 
     # ---- derived (numpy, computed lazily via helpers) ----
     def foot_sphere_indices(self) -> np.ndarray:
@@ -171,7 +172,7 @@ def _spatial_inertias(model: BodyModel, payload, com_shift, dtype=jnp.float32):
     return Ispat.at[0].set(I0)
 
 
-def _terrain_and_box_force(pos, vel, radius, terrain: Terrain, params, mu_scale):
+def _terrain_and_box_force(pos, vel, radius, terrain: Terrain, params, mu_scale, use_pallas=False):
     """Force on spheres from heightfield + env wall boxes + static geoms.
 
     pos/vel: (ns,3); radius: (ns,). Returns (ns,3).
@@ -180,14 +181,23 @@ def _terrain_and_box_force(pos, vel, radius, terrain: Terrain, params, mu_scale)
         pos, vel, radius, terrain.height, terrain.origin, terrain.scale, params, mu_scale
     )
     # env wall boxes: (B,7)
-    bc = terrain.boxes[:, 0:3]
-    bh = terrain.boxes[:, 3:6]
-    bvalid = terrain.boxes[:, 6]
-    fb = C.sphere_box(
-        pos[:, None, :], vel[:, None, :], radius[:, None],
-        bc[None, :, :], bh[None, :, :], params, mu_scale,
-    )
-    f = f + (fb * bvalid[None, :, None]).sum(axis=1)
+    if use_pallas:
+        from mqe_tpu.ops.pallas_contact import sphere_boxes_pallas
+
+        fb_sum = sphere_boxes_pallas(
+            pos[None], vel[None], radius, terrain.boxes[None],
+            jnp.reshape(mu_scale, (1,)), params,
+        )[0]
+        f = f + fb_sum
+    else:
+        bc = terrain.boxes[:, 0:3]
+        bh = terrain.boxes[:, 3:6]
+        bvalid = terrain.boxes[:, 6]
+        fb = C.sphere_box(
+            pos[:, None, :], vel[:, None, :], radius[:, None],
+            bc[None, :, :], bh[None, :, :], params, mu_scale,
+        )
+        f = f + (fb * bvalid[None, :, None]).sum(axis=1)
     # static geoms: (G,8) rows [kind, cx,cy,cz, p0,p1,p2, valid]
     sg = terrain.static_geoms
     if sg.shape[0] > 0:
@@ -321,7 +331,7 @@ def substep(
     flat_x = sph_x.reshape(A * ns, 3)
     flat_v = sph_v.reshape(A * ns, 3)
     flat_r = jnp.tile(sph_r, (A,))
-    force = _terrain_and_box_force(flat_x, flat_v, flat_r, terrain, params, dr.mu_scale)
+    force = _terrain_and_box_force(flat_x, flat_v, flat_r, terrain, params, dr.mu_scale, scene.use_pallas)
 
     npc_wrench = None
     npc_force_sph = None
@@ -335,7 +345,7 @@ def substep(
         nflat_v = nsph_v.reshape(N * len(npc.sph_tags), 3)
         nflat_r = jnp.tile(nsph_r, (N,))
         npc_force_sph = _terrain_and_box_force(
-            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale
+            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale, scene.use_pallas
         )
         # NPC-NPC sphere pairs (sheep flock bumping)
         if N > 1:
