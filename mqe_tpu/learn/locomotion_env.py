@@ -69,6 +69,8 @@ class LocoTaskState:
     last_qd: jnp.ndarray           # (E, 12)
     feet_air: jnp.ndarray          # (E, 4)
     last_contact: jnp.ndarray      # (E, 4) bool
+    cmd_scale: jnp.ndarray         # () command-range curriculum multiplier
+    track_acc: jnp.ndarray         # (E,) episode tracking-reward accumulator
     extra: dict
 
 
@@ -89,10 +91,12 @@ class LocomotionEnv:
         self._step_jit = jax.jit(self._step_impl)
         self._reset_jit = jax.jit(self._reset_impl)
 
+    MAX_CURRICULUM = 2.0  # ref commands.max_curriculum semantics
+
     # -- command sampling (ref _resample_commands legged_robot.py:352-366) --
-    def _sample_commands(self, key, n):
+    def _sample_commands(self, key, n, cmd_scale=1.0):
         k1, k2, k3 = jax.random.split(key, 3)
-        vx = jax.random.uniform(k1, (n,), minval=-1.0, maxval=1.0)
+        vx = jax.random.uniform(k1, (n,), minval=-1.0, maxval=1.0) * cmd_scale
         vy = jax.random.uniform(k2, (n,), minval=-0.6, maxval=0.6)
         wz = jax.random.uniform(k3, (n,), minval=-1.0, maxval=1.0)
         cmd = jnp.stack([vx, vy, wz], axis=-1)
@@ -128,6 +132,8 @@ class LocomotionEnv:
             last_qd=jnp.zeros((self.num_envs, 12)),
             feet_air=jnp.zeros((self.num_envs, 4)),
             last_contact=jnp.zeros((self.num_envs, 4), dtype=bool),
+            cmd_scale=jnp.ones(()),
+            track_acc=jnp.zeros((self.num_envs,)),
             extra={"obs": obs},
         )
         return ts, obs[:, None, :]
@@ -212,6 +218,7 @@ class LocomotionEnv:
 
         # ---- termination + auto reset ----
         done, collide, r_term, p_term, timeout = env._termination(es, contacts)
+        pre_reset_ep_len = jnp.maximum(es.episode_length.astype(jnp.float32), 1.0)
         fresh = env._reset_all(k_reset)
 
         def sel(new, old):
@@ -220,8 +227,23 @@ class LocomotionEnv:
 
         es = jax.tree.map(sel, fresh, es)
 
+        # command curriculum (ref update_command_curriculum
+        # legged_robot.py:505-514): when finished episodes track well, widen
+        # the vx range, up to MAX_CURRICULUM
+        track_step = jnp.exp(-lin_err / TRACKING_SIGMA)  # unscaled tracking term
+        track_acc = ts.track_acc + track_step
+        ep_len = pre_reset_ep_len
+        done_f = done.astype(jnp.float32)
+        n_done = done_f.sum()
+        mean_track = (track_acc / ep_len * done_f).sum() / jnp.maximum(n_done, 1.0)
+        grow = (n_done > 0) & (mean_track > 0.8)
+        cmd_scale = jnp.clip(
+            ts.cmd_scale + jnp.where(grow, 0.02, 0.0), 1.0, self.MAX_CURRICULUM
+        )
+        track_acc = track_acc * (1.0 - done_f)
+
         # resample commands on reset + every 5 s
-        new_cmd = self._sample_commands(k_cmd, E)
+        new_cmd = self._sample_commands(k_cmd, E, cmd_scale)
         resample = done | (es.episode_length % int(5.0 / self.dt) == 0)
         commands = jnp.where(resample[:, None], new_cmd, cmd)
 
@@ -233,6 +255,8 @@ class LocomotionEnv:
             last_qd=jnp.where(done[:, None], 0.0, qd),
             feet_air=jnp.where(done[:, None], 0.0, feet_air),
             last_contact=jnp.where(done[:, None], False, contact),
+            cmd_scale=cmd_scale,
+            track_acc=track_acc,
             extra={"obs": obs},
         )
         info = {"time_outs": timeout, "reset_mask": done, "reward_terms": {}}
