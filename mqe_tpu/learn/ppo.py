@@ -218,17 +218,44 @@ class PPOTrainer:
     def update(self, ts: TrainState):
         return self._update(ts)
 
-    def train(self, total_env_steps: int, log_every: int = 10, callback=None):
+    def update_many(self, ts: TrainState, n: int):
+        """n PPO updates in ONE device program (lax.scan over the update);
+        amortizes per-call dispatch, which dominates through remote-execution
+        tunnels. Metrics are averaged over the chunk."""
+        if not hasattr(self, "_update_many") or self._update_many_n != n:
+            def chunk(ts):
+                def body(t, _):
+                    t, m = self._update_impl(t)
+                    return t, m
+
+                ts, ms = jax.lax.scan(body, ts, None, length=n)
+                return ts, jax.tree.map(lambda x: x.mean(), ms)
+
+            self._update_many = jax.jit(chunk, donate_argnums=(0,))
+            self._update_many_n = n
+        return self._update_many(ts)
+
+    def train(self, total_env_steps: int, log_every: int = 10, callback=None,
+              updates_per_call: int = 1):
         ts = self.init_state()
         steps_per_update = self.cfg.rollout_len * self.E * self.A
         n_updates = max(1, total_env_steps // steps_per_update)
         history = []
-        for i in range(n_updates):
-            ts, metrics = self.update(ts)
-            if i % log_every == 0 or i == n_updates - 1:
-                m = {k: float(v) for k, v in metrics.items()}
+        i = 0
+        calls = 0
+        while i < n_updates:
+            if updates_per_call > 1:
+                k = min(updates_per_call, n_updates - i)
+                ts, metrics = self.update_many(ts, k)
+                i += k
+            else:
+                ts, metrics = self.update(ts)
+                i += 1
+            calls += 1
+            if calls % log_every == 0 or i >= n_updates:
+                m = {k_: float(v) for k_, v in metrics.items()}
                 m["update"] = i
-                m["env_steps"] = (i + 1) * steps_per_update
+                m["env_steps"] = i * steps_per_update
                 history.append(m)
                 if callback:
                     callback(m)

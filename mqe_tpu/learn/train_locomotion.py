@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="mqe_tpu/assets/body_policy.npz")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--updates-per-call", type=int, default=1)
     args = p.parse_args(argv)
 
     import jax
@@ -46,7 +47,7 @@ def main(argv=None):
         print(json.dumps(m), flush=True)
 
     t0 = time.time()
-    ts, history = trainer.train(args.train_timesteps, callback=cb)
+    ts, history = trainer.train(args.train_timesteps, callback=cb, updates_per_call=args.updates_per_call, log_every=1)
     print(f"done in {time.time() - t0:.0f}s", flush=True)
 
     # flatten flax params -> npz
