@@ -17,7 +17,7 @@ import time
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="go1gate")
-    p.add_argument("--algo", default="ppo", choices=["ppo", "jrpo", "dppo", "mat"])
+    p.add_argument("--algo", default="ppo", choices=["ppo", "jrpo", "dppo", "mat", "sppo"])
     p.add_argument("--num-envs", type=int, default=None)
     p.add_argument("--train-timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
@@ -39,7 +39,8 @@ def main(argv=None):
     from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
 
     wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
-    pcfg = PPOConfig(algo=args.algo, lr=args.lr, rollout_len=args.rollout_len)
+    algo = "ppo" if args.algo == "sppo" else args.algo  # sppo: OpenRL's simple-PPO == shared-param PPO here
+    pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len)
     if args.algo == "mat":
         from mqe_tpu.learn.mat import MATTrainer
 
