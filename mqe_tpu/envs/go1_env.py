@@ -124,7 +124,11 @@ class Go1Env:
         self.env_rows, self.env_cols = rows, cols
         self.env_origins = jnp.asarray(self.build.env_origins[rows, cols])       # (E,3)
         self.agent_origins = jnp.asarray(self.build.agent_origins[rows, cols])   # (E,A,3)
-        self.env_boxes = jnp.asarray(self.build.boxes[rows, cols])               # (E,B,7)
+        env_boxes = self.build.boxes[rows, cols]                                 # (E,B,7)
+        # trim the static box budget to what this task actually uses (plane
+        # tasks carry zero wall boxes -> the whole box-contact stage vanishes)
+        nbox_used = int((env_boxes[..., 6] > 0).any(axis=0).sum())
+        self.env_boxes = jnp.asarray(env_boxes[:, :nbox_used])
         self.env_info_np = {
             k: v[rows, cols] for k, v in self.build.env_info.items()
         }
