@@ -381,11 +381,18 @@ def substep(
     force = force.reshape(A, ns, 3)
 
     # ---- agent dynamics ----
+    from mqe_tpu.physics.star_dynamics import forward_dynamics_star, star_layout
+
+    robot_fd = (
+        forward_dynamics_star if star_layout(robot) is not None
+        else dynamics.forward_dynamics
+    )
+
     def dyn_one(pos, quat, lv, av, q, qd, f_sph, x_sph, tau_a, payload, com_shift, Rw_a, pw_a):
         Ispat = _spatial_inertias(robot, payload, com_shift, dtype=pos.dtype)
         wrench = _accumulate_wrench(robot, pw_a, x_sph, f_sph)
         wrench = wrench + _gravity_wrench(robot, Rw_a, payload, com_shift)
-        wd, ad, qdd, _ = dynamics.forward_dynamics(
+        wd, ad, qdd, _ = robot_fd(
             robot, Ispat, pos, quat, lv, av, q, qd, tau_a, wrench
         )
         return integrator.integrate(robot, pos, quat, lv, av, q, qd, wd, ad, qdd, dt)
