@@ -72,6 +72,10 @@ class PPOTrainer:
         )
         self._update = jax.jit(self._update_impl, donate_argnums=(0,))
         self._init_key = k2
+        # split-phase mode: rollout and SGD as two smaller device programs
+        # (remote-compile services can choke on the fused env+autodiff graph)
+        self._rollout_jit = None
+        self._sgd_jit = None
 
     def init_state(self) -> TrainState:
         key, k = jax.random.split(self._init_key)
@@ -218,6 +222,78 @@ class PPOTrainer:
     def update(self, ts: TrainState):
         return self._update(ts)
 
+    # ---- split-phase path ----
+    def _rollout_fn(self, params, env_state, key):
+        class _TS:  # lightweight view for _rollout's ts.params/ts.env_state/ts.key
+            pass
+
+        view = _TS()
+        view.params = params
+        view.env_state = env_state
+        view.key = key
+        env_state, key, traj, final_value = self._rollout(view)
+        advs, returns = self._gae(traj, final_value)
+        if self.cfg.normalize_adv:
+            advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+        return env_state, key, traj, advs, returns
+
+    def _sgd_fn(self, params, opt_state, batch, key):
+        cfg = self.cfg
+        n = batch["adv"].shape[0]
+        mb = n // cfg.num_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kperm = jax.random.split(key)
+            perm = jax.random.permutation(kperm, n)
+
+            def mb_step(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                sub = jax.tree.map(lambda x: x[idx], batch)
+                (loss, _), grads = jax.value_and_grad(self._loss, has_aux=True)(params, sub)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_step, (params, opt_state), jnp.arange(cfg.num_minibatches)
+            )
+            return (params, opt_state, key), losses.mean()
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=cfg.ppo_epochs
+        )
+        return params, opt_state, losses.mean()
+
+    def update_split(self, ts: TrainState):
+        """One PPO update as two device programs (rollout / SGD)."""
+        if self._rollout_jit is None:
+            self._rollout_jit = jax.jit(self._rollout_fn)
+            self._sgd_jit = jax.jit(self._sgd_fn, donate_argnums=(0, 1))
+        env_state, key, traj, advs, returns = self._rollout_jit(ts.params, ts.env_state, ts.key)
+        T, E, A = self.cfg.rollout_len, self.E, self.A
+        flat = lambda x: x.reshape((T * E * A,) + x.shape[3:])
+        batch = dict(
+            obs=flat(traj["obs"][:, :, : A]),
+            action=flat(traj["action"][:, :, : A]),
+            logp=flat(traj["logp"][:, :, : A]),
+            adv=flat(advs),
+            ret=flat(returns),
+        )
+        key, k = jax.random.split(key)
+        params, opt_state, loss = self._sgd_jit(ts.params, ts.opt_state, batch, k)
+        metrics = dict(
+            loss=loss,
+            reward_mean=traj["reward"].mean(),
+            value_mean=traj["value"].mean(),
+            done_frac=traj["done"].mean(),
+        )
+        return ts.replace(
+            params=params, opt_state=opt_state, env_state=env_state, key=key,
+            update_count=ts.update_count + 1,
+        ), metrics
+
     def update_many(self, ts: TrainState, n: int):
         """n PPO updates in ONE device program (lax.scan over the update);
         amortizes per-call dispatch, which dominates through remote-execution
@@ -236,7 +312,7 @@ class PPOTrainer:
         return self._update_many(ts)
 
     def train(self, total_env_steps: int, log_every: int = 10, callback=None,
-              updates_per_call: int = 1):
+              updates_per_call: int = 1, split: bool = False):
         ts = self.init_state()
         steps_per_update = self.cfg.rollout_len * self.E * self.A
         n_updates = max(1, total_env_steps // steps_per_update)
@@ -244,7 +320,10 @@ class PPOTrainer:
         i = 0
         calls = 0
         while i < n_updates:
-            if updates_per_call > 1:
+            if split:
+                ts, metrics = self.update_split(ts)
+                i += 1
+            elif updates_per_call > 1:
                 k = min(updates_per_call, n_updates - i)
                 ts, metrics = self.update_many(ts, k)
                 i += k

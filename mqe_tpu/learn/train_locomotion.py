@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--out", default="mqe_tpu/assets/body_policy.npz")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--updates-per-call", type=int, default=1)
+    p.add_argument("--split-jit", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -47,7 +48,7 @@ def main(argv=None):
         print(json.dumps(m), flush=True)
 
     t0 = time.time()
-    ts, history = trainer.train(args.train_timesteps, callback=cb, updates_per_call=args.updates_per_call, log_every=1)
+    ts, history = trainer.train(args.train_timesteps, callback=cb, updates_per_call=args.updates_per_call, log_every=1, split=args.split_jit)
     print(f"done in {time.time() - t0:.0f}s", flush=True)
 
     # flatten flax params -> npz
