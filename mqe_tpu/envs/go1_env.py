@@ -163,6 +163,12 @@ class Go1Env:
         # wrestling field), the NPC itself is a non-colliding anchor
         self.npc_has_collision = cfg.asset.npc_collision and cfg.asset.static_model is None
 
+        # flat-terrain fast path: all 13 predefined tasks build a constant
+        # ground heightfield (obstacles are wall boxes) -> analytic plane
+        # contact, skipping the bilinear terrain gather entirely
+        hmin, hmax = float(self.build.height.min()), float(self.build.height.max())
+        flat_height = hmin if hmin == hmax else None
+
         self.scene = S.SceneModel(
             robot=self.robot,
             num_agents=A,
@@ -173,6 +179,7 @@ class Go1Env:
                 kn=cfg.physx.kn, hc_damping=cfg.physx.hc_damping,
                 v_slip=cfg.physx.v_slip, f_max=cfg.physx.f_max,
             ),
+            flat_height=flat_height,
         )
         # sphere masks for termination/penalty classification
         self.term_sph = self.robot.sphere_mask(cfg.asset.terminate_after_contacts_on)

@@ -93,6 +93,19 @@ def sphere_heightfield(pos, vel, radius, height, origin, scale, params, mu_scale
     return penalty_force(depth, n, vel, params, mu_scale)
 
 
+def sphere_plane(pos, vel, radius, plane_h, params, mu_scale=1.0):
+    """Force on a sphere from the horizontal plane z = plane_h.
+
+    Fast path for flat heightfields (every predefined task's ground is flat —
+    walls/fixtures are analytic boxes): skips the 4-corner bilinear gather of
+    `sphere_heightfield`, which otherwise dominates the substep on TPU
+    (gathers scalarize; this is pure lane-parallel VPU math).
+    """
+    n = jnp.zeros_like(pos).at[..., 2].set(1.0)
+    depth = plane_h - (pos[..., 2] - radius)
+    return penalty_force(depth, n, vel, params, mu_scale)
+
+
 def sphere_box(pos, vel, radius, center, half, params, mu_scale=1.0, box_vel=None):
     """Force on a sphere from an axis-aligned box. Broadcasts over leading dims.
 

@@ -89,6 +89,10 @@ class SceneModel:
     contact: C.ContactParams = C.DEFAULT_PARAMS
     self_collision: bool = True
     use_pallas: bool = False   # fused Pallas kernel for sphere-vs-box contact
+    # ground height when the task heightfield is constant (all 13 predefined
+    # tasks: ground is flat, obstacles are analytic boxes) -> analytic plane
+    # contact, no bilinear gathers. None = sample the heightfield.
+    flat_height: float | None = None
 
     # ---- derived (numpy, computed lazily via helpers) ----
     def foot_sphere_indices(self) -> np.ndarray:
@@ -172,14 +176,20 @@ def _spatial_inertias(model: BodyModel, payload, com_shift, dtype=jnp.float32):
     return Ispat.at[0].set(I0)
 
 
-def _terrain_and_box_force(pos, vel, radius, terrain: Terrain, params, mu_scale, use_pallas=False):
+def _terrain_and_box_force(
+    pos, vel, radius, terrain: Terrain, params, mu_scale, use_pallas=False,
+    flat_height=None,
+):
     """Force on spheres from heightfield + env wall boxes + static geoms.
 
     pos/vel: (ns,3); radius: (ns,). Returns (ns,3).
     """
-    f = C.sphere_heightfield(
-        pos, vel, radius, terrain.height, terrain.origin, terrain.scale, params, mu_scale
-    )
+    if flat_height is not None:
+        f = C.sphere_plane(pos, vel, radius, flat_height, params, mu_scale)
+    else:
+        f = C.sphere_heightfield(
+            pos, vel, radius, terrain.height, terrain.origin, terrain.scale, params, mu_scale
+        )
     # env wall boxes: (B,7)
     if use_pallas:
         from mqe_tpu.ops.pallas_contact import sphere_boxes_pallas
@@ -331,7 +341,10 @@ def substep(
     flat_x = sph_x.reshape(A * ns, 3)
     flat_v = sph_v.reshape(A * ns, 3)
     flat_r = jnp.tile(sph_r, (A,))
-    force = _terrain_and_box_force(flat_x, flat_v, flat_r, terrain, params, dr.mu_scale, scene.use_pallas)
+    force = _terrain_and_box_force(
+        flat_x, flat_v, flat_r, terrain, params, dr.mu_scale, scene.use_pallas,
+        scene.flat_height,
+    )
 
     npc_wrench = None
     npc_force_sph = None
@@ -345,7 +358,8 @@ def substep(
         nflat_v = nsph_v.reshape(N * len(npc.sph_tags), 3)
         nflat_r = jnp.tile(nsph_r, (N,))
         npc_force_sph = _terrain_and_box_force(
-            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale, scene.use_pallas
+            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale, scene.use_pallas,
+            scene.flat_height,
         )
         # NPC-NPC sphere pairs (sheep flock bumping)
         if N > 1:

@@ -178,5 +178,26 @@ def test_wall_box_blocks_motion():
     assert float(st.agents.pos[0, 0]) < 0.92, st.agents.pos
 
 
+def test_flat_plane_fast_path_matches_heightfield():
+    """sphere_plane (flat-terrain fast path) == sphere_heightfield on a
+    constant field, including friction and damping terms."""
+    import jax.numpy as jnp
+    from mqe_tpu.physics import contact as C
+
+    key = jax.random.PRNGKey(3)
+    kp, kv = jax.random.split(key)
+    pos = jax.random.uniform(kp, (256, 3), minval=-1, maxval=1) * jnp.array([5.0, 5.0, 0.2])
+    vel = jax.random.normal(kv, (256, 3))
+    r = jnp.full((256,), 0.03)
+    H = jnp.full((64, 64), 0.17)
+    origin = jnp.array([-10.0, -10.0])
+    scale = jnp.asarray(0.5)
+    p = C.DEFAULT_PARAMS
+    f_hf = C.sphere_heightfield(pos, vel, r, H, origin, scale, p, 1.0)
+    f_pl = C.sphere_plane(pos, vel, r, 0.17, p, 1.0)
+    # f32 bilinear arithmetic rounds at ~1e-7 relative on ~500 N forces
+    assert float(jnp.abs(f_hf - f_pl).max()) < 1e-3
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
