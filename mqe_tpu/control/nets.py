@@ -83,7 +83,12 @@ class AdaptationModule:
 
 def load_body_policy(path):
     """Load a trained body-policy npz (from learn/train_locomotion.py) into a
-    callable obs70 -> action12 (deterministic actor mean)."""
+    callable obs70 -> action12 (deterministic actor mean).
+
+    Applies the same 4*tanh action squash the trainer's rl_prescale used
+    during rollout (learn/locomotion_env.py::rl_prescale), so the deployed
+    policy sees exactly the action semantics it was trained with.
+    """
     import numpy as _np
 
     d = _np.load(path)
@@ -102,6 +107,6 @@ def load_body_policy(path):
             h = h @ w + b
             if j < len(layers) - 1:
                 h = elu(h)
-        return h
+        return 4.0 * jnp.tanh(h)
 
     return apply

@@ -135,6 +135,11 @@ class Go1Cfg:
         torque_limits = (20.0, 20.0, 25.0) * 4
         locomotion_backend = "trot"  # "trot" heuristic IK controller or
         #                              "policy" (walk-these-ways MLP stack)
+        # add the trot backend's supplementary joint PD to the actuator-net
+        # torque path when running a trained body policy (must match between
+        # training and deployment; the recovered-WTW-weights path keeps the
+        # bare actuator net for reference parity, ref go1.py:315-354)
+        policy_pd_augment = False
 
         class default_command:
             lin_vel_x = 1.0

@@ -197,6 +197,18 @@ class Go1Env:
         self.adaptation = AdaptationModule() if self.backend == "policy" else None
         self.body_policy_params = None  # set via load_locomotion_policy()
         self.hist_len = 30 if self.backend == "policy" else 0
+        if self.backend == "policy":
+            # auto-load the in-framework trained body policy if present
+            # (replacement for the reference's missing walk-these-ways blob)
+            import os
+
+            from mqe_tpu import ASSETS_DIR
+            from mqe_tpu.control.nets import load_body_policy
+
+            bp = os.path.join(ASSETS_DIR, "body_policy.npz")
+            if os.path.exists(bp):
+                self.body_policy_params = load_body_policy(bp)
+                self.hist_len = 0  # obs70 policy needs no 2100-dim history
 
         dc = cfg.control.default_command
         gaits = cfg.command.gaits
@@ -487,7 +499,9 @@ class Go1Env:
         vel = ag.qd
         h = state.err_hist  # (E, A, 4, 12): err_last, err_llast, vel_last, vel_llast
         tau = self.actuator(err, h[..., 0, :], h[..., 1, :], vel, h[..., 2, :], h[..., 3, :])
-        if self.backend == "trot":
+        if self.backend == "trot" or getattr(
+            self.cfg.control, "policy_pd_augment", False
+        ):
             tau = tau - self.trot.TAU_KP * err - self.trot.TAU_KD * vel
         tau = tau * state.dr.motor_strength
         tl = jnp.asarray(self.torque_limits)

@@ -45,6 +45,10 @@ class LocomotionTrainCfg(Go1Cfg):
         pitch_kwargs = dict(threshold=1.0)
         z_low_kwargs = dict(threshold=0.12)
 
+    class control(Go1Cfg.control):
+        locomotion_backend = "policy"
+        policy_pd_augment = True
+
 
 # reference reward scales (LeggedRobotCfg.rewards.scales, x dt at build)
 REWARD_SCALES = dict(
@@ -197,7 +201,12 @@ class LocomotionEnv:
         r += s["torques"] * tau_sum.sum(-1) / env.decimation
         qd = ag.qd[:, 0]
         r += s["dof_acc"] * (((ts.last_qd - qd) / self.dt) ** 2).sum(-1)
-        r += s["action_rate"] * ((ts.last_action - action) ** 2).sum(-1)
+        # action_rate on PRESCALE-normalized actions: the reference computes
+        # it on raw ~[-1,1] policy outputs (legged_robot.py:1124-1126); our
+        # rl_prescale stretches actions to +-4, which would inflate this
+        # penalty 16x and (with only_positive_rewards) clamp every step's
+        # reward to zero — no learning signal
+        r += s["action_rate"] * (((ts.last_action - action) / 4.0) ** 2).sum(-1)
         pen_mask = jnp.asarray(self.env.pen_sph)
         cf = jnp.linalg.norm(contacts.sphere_force[:, 0], axis=-1)
         r += s["collision"] * ((cf * pen_mask[None, :]) > 0.1).sum(-1)

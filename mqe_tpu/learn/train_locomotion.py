@@ -25,6 +25,11 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--updates-per-call", type=int, default=1)
     p.add_argument("--split-jit", action="store_true")
+    p.add_argument(
+        "--backend", default="policy", choices=["policy", "trot"],
+        help="torque path to train against; 'policy' = bare actuator net, "
+        "matching how a deployed body policy runs (ref go1.py:315-354)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -33,9 +38,13 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from mqe_tpu.learn.locomotion_env import LocomotionEnv
+    from mqe_tpu.learn.locomotion_env import LocomotionEnv, LocomotionTrainCfg
     from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
 
+    # train against the SAME torque path the deployed policy will use: the
+    # trot backend adds a supplementary PD in Go1Env._torques, the policy
+    # backend is the bare actuator net (reference parity)
+    LocomotionTrainCfg.control.locomotion_backend = args.backend
     env = LocomotionEnv(num_envs=args.num_envs, seed=args.seed)
     trainer = PPOTrainer(
         env,
