@@ -85,13 +85,16 @@ def load_body_policy(path):
     """Load a trained body-policy npz (from learn/train_locomotion.py) into a
     callable obs70 -> action12 (deterministic actor mean).
 
-    Applies the same 4*tanh action squash the trainer's rl_prescale used
-    during rollout (learn/locomotion_env.py::rl_prescale), so the deployed
-    policy sees exactly the action semantics it was trained with.
+    Applies the same `prescale*tanh` action squash the trainer's rl_prescale
+    used during rollout (learn/locomotion_env.py::rl_prescale), so the
+    deployed policy sees exactly the action semantics it was trained with.
+    The prescale is stored in the npz (meta_prescale; default 4.0 for older
+    checkpoints).
     """
     import numpy as _np
 
     d = _np.load(path)
+    prescale = float(d["meta_prescale"]) if "meta_prescale" in d else 4.0
     layers = []
     i = 0
     while f"params/actor/Dense_{i}/kernel" in d:
@@ -107,6 +110,6 @@ def load_body_policy(path):
             h = h @ w + b
             if j < len(layers) - 1:
                 h = elu(h)
-        return 4.0 * jnp.tanh(h)
+        return prescale * jnp.tanh(h)
 
     return apply

@@ -197,7 +197,7 @@ class Go1Env:
         self.adaptation = AdaptationModule() if self.backend == "policy" else None
         self.body_policy_params = None  # set via load_locomotion_policy()
         self.hist_len = 30 if self.backend == "policy" else 0
-        if self.backend == "policy":
+        if self.backend in ("policy", "residual"):
             # auto-load the in-framework trained body policy if present
             # (replacement for the reference's missing walk-these-ways blob)
             import os
@@ -431,11 +431,14 @@ class Go1Env:
             body_height_delta=jnp.full((E, A), gp["body_height_delta"]),
         )
         loco_obs, loco_hist = self._fill_locomotion_obs(state, commands, clock)
-        if self.backend == "trot" or self.body_policy_params is None:
+        if self.backend in ("trot", "residual") or self.body_policy_params is None:
             action = self.trot(
                 commands, idx_legs, gait_arr, roll=r, pitch=p,
                 v_meas=v_yaw[..., :2], w_meas=ag.ang_vel[..., 2],
             )
+            if self.backend == "residual" and callable(self.body_policy_params):
+                # trained residual: model-based trot + learned correction
+                action = action + self.body_policy_params(loco_obs)
         elif callable(self.body_policy_params):
             # in-framework trained body policy: obs70 -> action12
             action = self.body_policy_params(loco_obs)
@@ -499,7 +502,7 @@ class Go1Env:
         vel = ag.qd
         h = state.err_hist  # (E, A, 4, 12): err_last, err_llast, vel_last, vel_llast
         tau = self.actuator(err, h[..., 0, :], h[..., 1, :], vel, h[..., 2, :], h[..., 3, :])
-        if self.backend == "trot" or getattr(
+        if self.backend in ("trot", "residual") or getattr(
             self.cfg.control, "policy_pd_augment", False
         ):
             tau = tau - self.trot.TAU_KP * err - self.trot.TAU_KD * vel

@@ -46,7 +46,10 @@ class LocomotionTrainCfg(Go1Cfg):
         z_low_kwargs = dict(threshold=0.12)
 
     class control(Go1Cfg.control):
-        locomotion_backend = "policy"
+        # "residual": RL learns a correction on top of the model-based trot
+        # (well-conditioned: the base gait already walks); "policy": RL learns
+        # joint offsets from scratch against the bare actuator-net path
+        locomotion_backend = "residual"
         policy_pd_augment = True
 
 
@@ -86,6 +89,10 @@ class LocomotionEnv:
     def __init__(self, num_envs: int = 1024, seed: int = 0, cfg=LocomotionTrainCfg):
         cfg.env.num_envs = num_envs
         self.env = Go1Env(cfg, num_envs=num_envs, seed=seed)
+        # train from scratch even if a body_policy asset was auto-loaded
+        self.env.body_policy_params = None
+        self.residual = cfg.control.locomotion_backend == "residual"
+        self.prescale = 1.0 if self.residual else 4.0
         self.cfg = cfg
         self.num_envs = num_envs
         self.num_agents = 1
@@ -119,9 +126,9 @@ class LocomotionEnv:
         return ts.extra["obs"][:, None, :]
 
     def rl_prescale(self, action):
-        # wider authority than the command-level tasks: joint offsets up to
-        # +-4 (x action_scale 0.25 -> +-1 rad)
-        return 4.0 * jnp.tanh(action)
+        # from-scratch policy: offsets up to +-4 (x action_scale 0.25 ->
+        # +-1 rad); residual mode: small +-1 correction on the trot action
+        return self.prescale * jnp.tanh(action)
 
     def _reset_impl(self, key):
         k1, k2 = jax.random.split(key)
@@ -146,23 +153,32 @@ class LocomotionEnv:
         return self._reset_jit(key)
 
     def _step_impl(self, ts: LocoTaskState, actions, key):
-        """actions: (E, 1, 12) position-offset actions in [-10, 10]."""
+        """actions: (E, 1, 12) position-offset actions (post rl_prescale)."""
         env = self.env
         E = self.num_envs
         action = actions.reshape(E, 12)
+        resid = action  # the RL-controlled part (== action in policy mode)
         k_reset, k_cmd, k_gait = jax.random.split(key, 3)
 
         es = ts.env
-        # gait clocks advance (trot timing for clock obs)
-        from mqe_tpu.control.locomotion import step_gait_clocks
+        if self.residual:
+            # model-based trot base + learned residual correction (the same
+            # composition Go1Env._locomotion_action applies at deployment)
+            trot_action, gait_idx, clock, _, _ = env._locomotion_action(
+                es, ts.commands[:, None, :]
+            )
+            action = trot_action[:, 0] + action
+        else:
+            # gait clocks advance (trot timing for clock obs)
+            from mqe_tpu.control.locomotion import step_gait_clocks
 
-        gp = env.gait_params_static
-        gait_idx, idx, clock, dbl, half = step_gait_clocks(
-            es.gait_indices, self.dt,
-            jnp.asarray(gp["freq"]), jnp.asarray(gp["phases"]),
-            jnp.asarray(gp["offsets"]), jnp.asarray(gp["bounds"]),
-            jnp.asarray(gp["duration"]),
-        )
+            gp = env.gait_params_static
+            gait_idx, idx, clock, dbl, half = step_gait_clocks(
+                es.gait_indices, self.dt,
+                jnp.asarray(gp["freq"]), jnp.asarray(gp["phases"]),
+                jnp.asarray(gp["offsets"]), jnp.asarray(gp["bounds"]),
+                jnp.asarray(gp["duration"]),
+            )
         es = es.replace(
             gait_indices=gait_idx, clock_inputs=clock,
             last2_loco_action=es.last_loco_action,
@@ -201,12 +217,13 @@ class LocomotionEnv:
         r += s["torques"] * tau_sum.sum(-1) / env.decimation
         qd = ag.qd[:, 0]
         r += s["dof_acc"] * (((ts.last_qd - qd) / self.dt) ** 2).sum(-1)
-        # action_rate on PRESCALE-normalized actions: the reference computes
-        # it on raw ~[-1,1] policy outputs (legged_robot.py:1124-1126); our
-        # rl_prescale stretches actions to +-4, which would inflate this
-        # penalty 16x and (with only_positive_rewards) clamp every step's
-        # reward to zero — no learning signal
-        r += s["action_rate"] * (((ts.last_action - action) / 4.0) ** 2).sum(-1)
+        # action_rate on the PRESCALE-normalized RL output (the residual in
+        # residual mode — the trot base sweeps by design and must not be
+        # penalized): the reference computes this on raw ~[-1,1] policy
+        # outputs (legged_robot.py:1124-1126); our rl_prescale stretches
+        # actions, which would inflate the penalty and (with
+        # only_positive_rewards) clamp every step's reward to zero
+        r += s["action_rate"] * (((ts.last_action - resid) / self.prescale) ** 2).sum(-1)
         pen_mask = jnp.asarray(self.env.pen_sph)
         cf = jnp.linalg.norm(contacts.sphere_force[:, 0], axis=-1)
         r += s["collision"] * ((cf * pen_mask[None, :]) > 0.1).sum(-1)
@@ -260,7 +277,7 @@ class LocomotionEnv:
         ts = LocoTaskState(
             env=es,
             commands=commands,
-            last_action=jnp.where(done[:, None], 0.0, action),
+            last_action=jnp.where(done[:, None], 0.0, resid),
             last_qd=jnp.where(done[:, None], 0.0, qd),
             feet_air=jnp.where(done[:, None], 0.0, feet_air),
             last_contact=jnp.where(done[:, None], False, contact),

@@ -26,9 +26,10 @@ def main(argv=None):
     p.add_argument("--updates-per-call", type=int, default=1)
     p.add_argument("--split-jit", action="store_true")
     p.add_argument(
-        "--backend", default="policy", choices=["policy", "trot"],
-        help="torque path to train against; 'policy' = bare actuator net, "
-        "matching how a deployed body policy runs (ref go1.py:315-354)",
+        "--backend", default="residual", choices=["residual", "policy", "trot"],
+        help="'residual' = learn a correction on the model-based trot "
+        "(well-conditioned); 'policy' = learn joint offsets from scratch "
+        "against the bare actuator-net path (ref go1.py:315-354)",
     )
     args = p.parse_args(argv)
 
@@ -62,7 +63,7 @@ def main(argv=None):
 
     # flatten flax params -> npz
     flat = jax.tree_util.tree_flatten_with_path(ts.params)[0]
-    out = {}
+    out = {"meta_prescale": np.asarray(env.prescale)}
     for path, leaf in flat:
         name = "/".join(str(k.key) for k in path)
         out[name] = np.asarray(leaf)

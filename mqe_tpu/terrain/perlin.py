@@ -11,7 +11,24 @@ import numpy as np
 
 
 def perlin_noise_2d(rng: np.random.Generator, shape, res):
-    """Single-octave gradient noise in [0, 1], shape divisible by res."""
+    """Single-octave gradient noise in [0, 1], shape divisible by res.
+
+    Randomness (the gradient-angle grid) is drawn here from the numpy
+    Generator; interpolation runs in the native C++ kernel when built
+    (mqe_tpu/native/terrain_kernels.cc) and in numpy otherwise — both paths
+    are numerically identical (tests/test_native.py).
+    """
+    angles = 2 * np.pi * rng.random((res[0] + 1, res[1] + 1))
+
+    from mqe_tpu.native import get_lib
+
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(shape, dtype=np.float64)
+        lib.perlin_octave(
+            np.ascontiguousarray(angles), res[0], res[1], shape[0], shape[1], out
+        )
+        return out
 
     def fade(t):
         return 6 * t**5 - 15 * t**4 + 10 * t**3
@@ -19,7 +36,6 @@ def perlin_noise_2d(rng: np.random.Generator, shape, res):
     delta = (res[0] / shape[0], res[1] / shape[1])
     d = (shape[0] // res[0], shape[1] // res[1])
     grid = np.mgrid[0 : res[0] : delta[0], 0 : res[1] : delta[1]].transpose(1, 2, 0) % 1
-    angles = 2 * np.pi * rng.random((res[0] + 1, res[1] + 1))
     gradients = np.dstack((np.cos(angles), np.sin(angles)))
     g00 = gradients[:-1, :-1].repeat(d[0], 0).repeat(d[1], 1)
     g10 = gradients[1:, :-1].repeat(d[0], 0).repeat(d[1], 1)
