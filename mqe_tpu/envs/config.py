@@ -133,8 +133,12 @@ class Go1Cfg:
         hip_scale_reduction = 0.5
         decimation = 4
         torque_limits = (20.0, 20.0, 25.0) * 4
-        locomotion_backend = "trot"  # "trot" heuristic IK controller or
-        #                              "policy" (walk-these-ways MLP stack)
+        # locomotion backend: "residual" = model-based trot + trained RL
+        # correction (assets/body_policy.npz, trained in-framework by
+        # learn/train_locomotion.py; default — best command tracking),
+        # "trot" = bare heuristic IK controller, "policy" = walk-these-ways
+        # MLP stack (adaptation module + body policy, ref go1.py:389-409)
+        locomotion_backend = "residual"
         # add the trot backend's supplementary joint PD to the actuator-net
         # torque path when running a trained body policy (must match between
         # training and deployment; the recovered-WTW-weights path keeps the
