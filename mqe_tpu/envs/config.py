@@ -216,6 +216,10 @@ class Go1Cfg:
         init_base_vel_range = [-0.5, 0.5]
         init_dof_pos_ratio_range = [0.7, 1.3]
         init_npc_base_pos_range = dict(x=[-0.2, 0.2], y=[-0.2, 0.2])
+        # action-lag DR (ref go1_config.py:232-233): joint-position targets
+        # delayed by lag_timesteps physics substeps when enabled
+        randomize_lag_timesteps = False
+        lag_timesteps = 6
 
     class rewards:
         class scales:

@@ -64,11 +64,13 @@ class EnvState:
     last_loco_action: jnp.ndarray  # (E, A, 12)
     last2_loco_action: jnp.ndarray
     err_hist: jnp.ndarray          # (E, A, 4, 12) actuator history
+    lag_buffer: jnp.ndarray        # (E, A, L+1, 12) action lag DR (L=0 -> off)
     dr: S.DomainRand               # batched (E, ...)
     commands: jnp.ndarray          # (E, A, 3) current commands (set each step)
     push_timer: jnp.ndarray        # (E,) int32
     steps_since_reset: jnp.ndarray  # alias of episode_length? kept distinct
     done: jnp.ndarray              # (E,) bool last-step termination
+    terrain_levels: jnp.ndarray    # (E,) int32 curriculum row (static if off)
     collide: jnp.ndarray           # (E,) bool termination-contact flag
     r_term: jnp.ndarray            # (E,) roll termination flag
     p_term: jnp.ndarray            # (E,) pitch termination flag
@@ -98,6 +100,14 @@ class Go1Env:
         self.max_episode_length = int(np.ceil(cfg.env.episode_length_s / self.dt))
 
         self.default_q = np.asarray(default_joint_array(cfg), dtype=np.float32)
+        # action-lag domain randomization: joint targets are delayed by
+        # lag_timesteps physics substeps (ref go1.py:337-339, 363;
+        # go1_config.py:232-233). Static per-compile: L=0 disables the path.
+        self.lag_len = (
+            int(cfg.domain_rand.lag_timesteps)
+            if getattr(cfg.domain_rand, "randomize_lag_timesteps", False)
+            else 0
+        )
         self.torque_limits = np.asarray(cfg.control.torque_limits, dtype=np.float32)
         self.hip_scale = np.asarray(
             [cfg.control.hip_scale_reduction, 1.0, 1.0] * 4, dtype=np.float32
@@ -124,10 +134,29 @@ class Go1Env:
         self.env_rows, self.env_cols = rows, cols
         self.env_origins = jnp.asarray(self.build.env_origins[rows, cols])       # (E,3)
         self.agent_origins = jnp.asarray(self.build.agent_origins[rows, cols])   # (E,A,3)
+        # runtime terrain curriculum (ref _update_terrain_curriculum
+        # legged_robot.py:479-503): env rows become dynamic state, promoted/
+        # demoted on episode outcome; off -> all origin lookups stay static
+        self.curriculum = (
+            bool(getattr(cfg.terrain, "curriculum", False))
+            and cfg.terrain.mesh_type != "plane"
+            and R > 1
+        )
         env_boxes = self.build.boxes[rows, cols]                                 # (E,B,7)
         # trim the static box budget to what this task actually uses (plane
         # tasks carry zero wall boxes -> the whole box-contact stage vanishes)
-        nbox_used = int((env_boxes[..., 6] > 0).any(axis=0).sum())
+        if self.curriculum:
+            nbox_used = int((self.build.boxes[..., 6] > 0).any(axis=(0, 1)).sum())
+            self.grid_env_origins = jnp.asarray(self.build.env_origins)
+            self.grid_agent_origins = jnp.asarray(self.build.agent_origins)
+            self.grid_boxes = jnp.asarray(self.build.boxes[:, :, :nbox_used])
+            self.env_cols_j = jnp.asarray(cols)
+            self.num_levels = R
+            # promote when the farthest agent crossed half the track
+            # (ref _get_terrain_curriculum_move legged_robot.py:496-503)
+            self.curr_up_dist = float(self.build.track_length) / 2.0
+        else:
+            nbox_used = int((env_boxes[..., 6] > 0).any(axis=0).sum())
         self.env_boxes = jnp.asarray(env_boxes[:, :nbox_used])
         self.env_info_np = {
             k: v[rows, cols] for k, v in self.build.env_info.items()
@@ -365,20 +394,31 @@ class Go1Env:
         dr = S.DomainRand(mu_scale=mu, payload=payload, com_shift=com_shift, motor_strength=motor)
         return agents, npcs, dr
 
-    def _offset_to_world(self, agents, npcs, e_idx):
-        """Shift spawn states by terrain origins for env index e_idx."""
-        ao = self.agent_origins[e_idx]  # (A, 3)
-        eo = self.env_origins[e_idx]    # (3,)
+    def _origins_for(self, levels):
+        """(env_origins (E,3), agent_origins (E,A,3)) — static when the
+        curriculum is off, gathered by terrain level when on."""
+        if self.curriculum:
+            return (
+                self.grid_env_origins[levels, self.env_cols_j],
+                self.grid_agent_origins[levels, self.env_cols_j],
+            )
+        return self.env_origins, self.agent_origins
+
+    def _offset_to_world(self, agents, npcs, ao, eo):
+        """Shift spawn states by terrain origins ao (A,3) / eo (3,)."""
         agents = agents.replace(pos=agents.pos + ao.at[:, 2].set(0.0))
         if self.num_npcs > 0:
             npcs = npcs.replace(pos=npcs.pos + eo.at[2].set(0.0)[None, :])
         return agents, npcs
 
-    def _reset_all_impl(self, key):
+    def _reset_all_impl(self, key, levels=None):
         E = self.num_envs
+        if levels is None:
+            levels = jnp.asarray(self.env_rows, dtype=jnp.int32)
         keys = jax.random.split(key, E)
         agents, npcs, dr = jax.vmap(self._fresh_env_state)(keys)
-        agents, npcs = jax.vmap(self._offset_to_world)(agents, npcs, jnp.arange(E))
+        eo, ao = self._origins_for(levels)
+        agents, npcs = jax.vmap(self._offset_to_world)(agents, npcs, ao, eo)
         A = self.num_agents
         H = self.hist_len
         return EnvState(
@@ -391,11 +431,13 @@ class Go1Env:
             last_loco_action=jnp.zeros((E, A, 12)),
             last2_loco_action=jnp.zeros((E, A, 12)),
             err_hist=jnp.zeros((E, A, 4, 12)),
+            lag_buffer=jnp.zeros((E, A, self.lag_len + 1 if self.lag_len else 0, 12)),
             dr=dr,
             commands=jnp.zeros((E, A, 3)),
             push_timer=jnp.zeros(E, dtype=jnp.int32),
             steps_since_reset=jnp.zeros(E, dtype=jnp.int32),
             done=jnp.zeros(E, dtype=bool),
+            terrain_levels=levels,
             collide=jnp.zeros(E, dtype=bool),
             r_term=jnp.zeros(E, dtype=bool),
             p_term=jnp.zeros(E, dtype=bool),
@@ -494,9 +536,18 @@ class Go1Env:
 
     def _torques(self, state: EnvState, action):
         """Locomotion action -> joint torques via actuator net
-        (ref go1.py:315-354)."""
+        (ref go1.py:315-354). Returns (tau, err_hist, lag_buffer, target)."""
         scaled = action * self.action_scale * jnp.asarray(self.hip_scale)
-        target = scaled + jnp.asarray(self.default_q)
+        if self.lag_len > 0:
+            # shift the lag FIFO and actuate the OLDEST entry
+            # (ref go1.py:338-339: lag_buffer[1:] + [scaled]; target = lag[0])
+            lag = jnp.concatenate(
+                [state.lag_buffer[..., 1:, :], scaled[..., None, :]], axis=-2
+            )
+            target = lag[..., 0, :] + jnp.asarray(self.default_q)
+        else:
+            lag = state.lag_buffer
+            target = scaled + jnp.asarray(self.default_q)
         ag = state.phys.agents
         err = ag.q - target
         vel = ag.qd
@@ -510,12 +561,16 @@ class Go1Env:
         tl = jnp.asarray(self.torque_limits)
         tau = jnp.clip(tau, -tl, tl)
         new_hist = jnp.stack([err, h[..., 0, :], vel, h[..., 2, :]], axis=-2)
-        return tau, new_hist, target
+        return tau, new_hist, lag, target
 
     def _physics(self, state: EnvState, tau):
         """One decimation substep: subiters x scene.substep, vmapped over E."""
         npc_nq = self.npc.nq if (self.npc is not None and self.npc_has_collision) else 0
         npc_tau = jnp.zeros((self.num_envs, self.scene.num_npcs, npc_nq))
+        env_boxes = (
+            self.grid_boxes[state.terrain_levels, self.env_cols_j]
+            if self.curriculum else self.env_boxes
+        )
 
         def one(phys, tau_e, npc_tau_e, dr_e, boxes_e, sg_e):
             t = S.Terrain(
@@ -535,7 +590,7 @@ class Go1Env:
             return phys, contacts
 
         phys, contacts = jax.vmap(one)(
-            state.phys, tau, npc_tau, state.dr, self.env_boxes, self.static_geoms
+            state.phys, tau, npc_tau, state.dr, env_boxes, self.static_geoms
         )
         return phys, contacts
 
@@ -555,7 +610,7 @@ class Go1Env:
         reset = collide
 
         r, p, _ = quat_ops.get_euler_xyz_wrapped(ag.quat)
-        z_rel = ag.pos[..., 2] - self.agent_origins[..., 2]
+        z_rel = ag.pos[..., 2] - self._origins_for(state.terrain_levels)[1][..., 2]
         terms = cfg.termination.termination_terms
         r_term = jnp.zeros(E, dtype=bool)
         p_term = jnp.zeros(E, dtype=bool)
@@ -576,7 +631,7 @@ class Go1Env:
         cfg = self.cfg
         sc = cfg.normalization.obs_scales
         ag = state.phys.agents
-        origins = self.env_origins[:, None, :]  # (E,1,3)
+        origins = self._origins_for(state.terrain_levels)[0][:, None, :]  # (E,1,3)
         r, p, y = quat_ops.get_euler_xyz(ag.quat)
         g_body = quat_ops.quat_rotate_inverse(
             ag.quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), ag.quat.shape[:-1] + (3,))
@@ -661,7 +716,7 @@ class Go1Env:
         """Pure control-rate step. commands: (E, A_cmd, 3)."""
         cfg = self.cfg
         E, A = self.num_envs, self.num_agents
-        k_npc, k_push, k_reset = jax.random.split(key, 3)
+        k_npc, k_push, k_reset, k_lv = jax.random.split(key, 4)
 
         if self.npc_behavior == "defender":
             dcmd = self._defender_commands(state)
@@ -681,9 +736,9 @@ class Go1Env:
 
         # decimation loop (scanned: keeps the compiled graph 4x smaller)
         def dec_body(st, _):
-            tau, err_hist, _ = self._torques(st, action)
+            tau, err_hist, lag, _ = self._torques(st, action)
             phys, contacts = self._physics(st, tau)
-            return st.replace(phys=phys, err_hist=err_hist), contacts
+            return st.replace(phys=phys, err_hist=err_hist, lag_buffer=lag), contacts
 
         state, contacts_seq = jax.lax.scan(dec_body, state, None, length=self.decimation)
         contacts = jax.tree.map(lambda x: x[-1], contacts_seq)
@@ -711,7 +766,31 @@ class Go1Env:
 
         # termination + masked auto-reset
         done, collide, r_term, p_term, timeout = self._termination(state, contacts)
-        fresh = self._reset_all(k_reset)
+
+        # terrain curriculum: promote envs whose farthest agent crossed half
+        # the track, demote envs that covered less than half the commanded
+        # distance (ref _update_terrain_curriculum legged_robot.py:479-503)
+        levels = state.terrain_levels
+        if self.curriculum:
+            eo_cur = self._origins_for(levels)[0]
+            dist = jnp.linalg.norm(
+                state.phys.agents.pos[..., :2] - eo_cur[:, None, :2], axis=-1
+            ).max(axis=-1)
+            move_up = dist > self.curr_up_dist
+            cmd_dist = (
+                jnp.linalg.norm(state.commands[..., :2], axis=-1).mean(-1)
+                * (self.max_episode_length * self.dt) * 0.5
+            )
+            move_down = (dist < cmd_dist) & ~move_up
+            new_lv = levels + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
+            # solved the last level -> random level (ref legged_robot.py:491-494)
+            rand_lv = jax.random.randint(k_lv, (E,), 0, self.num_levels)
+            new_lv = jnp.where(
+                new_lv >= self.num_levels, rand_lv, jnp.maximum(new_lv, 0)
+            )
+            levels = jnp.where(done, new_lv, levels)
+
+        fresh = self._reset_all(k_reset, levels)
 
         def sel(new, old):
             if new.ndim == 0:

@@ -36,10 +36,18 @@ def main(argv=None):
 
     params = None
     if args.checkpoint:
-        import orbax.checkpoint as ocp
+        import os
 
-        ckpt = ocp.PyTreeCheckpointer()
-        params = ckpt.restore(args.checkpoint)["params"]
+        if os.path.isdir(args.checkpoint):  # legacy orbax params-only dir
+            import orbax.checkpoint as ocp
+
+            params = ocp.PyTreeCheckpointer().restore(args.checkpoint)["params"]
+        else:  # full-TrainState .npz snapshot (utils/checkpoint.py)
+            from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
+            from mqe_tpu.utils.checkpoint import restore_pytree
+
+            tr = PPOTrainer(wrap, PPOConfig(), seed=args.seed)
+            params = restore_pytree(args.checkpoint, tr.init_state()).params
         print(f"loaded checkpoint {args.checkpoint}")
 
     key = jax.random.PRNGKey(args.seed)

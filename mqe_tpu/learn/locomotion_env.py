@@ -38,6 +38,10 @@ class LocomotionTrainCfg(Go1Cfg):
         init_base_pos_range = dict(x=[-0.1, 0.1], y=[-0.1, 0.1])
         init_base_vel_range = [-0.2, 0.2]
         init_dof_pos_ratio_range = [0.8, 1.2]
+        # action-lag DR on during locomotion training (ref go1.py:337-339,
+        # go1_config.py:232-233): robustness to actuation latency
+        randomize_lag_timesteps = True
+        lag_timesteps = 6
 
     class termination(Go1Cfg.termination):
         termination_terms = ["roll", "pitch", "z_low"]
@@ -53,19 +57,47 @@ class LocomotionTrainCfg(Go1Cfg):
         policy_pd_augment = True
 
 
-# reference reward scales (LeggedRobotCfg.rewards.scales, x dt at build)
+# Full reference reward menu (LeggedRobotCfg.rewards.scales,
+# ref legged_robot_config.py:159-174 + the _reward_* engine
+# legged_robot.py:1081-1173; scales are multiplied by dt at build like
+# _prepare_reward_function:659-664). Zero-scale terms are skipped statically.
 REWARD_SCALES = dict(
+    termination=-0.0,
     tracking_lin_vel=1.0,
     tracking_ang_vel=0.5,
     lin_vel_z=-2.0,
     ang_vel_xy=-0.05,
+    orientation=-0.0,
     torques=-0.00001,
+    dof_vel=-0.0,
     dof_acc=-2.5e-7,
-    action_rate=-0.01,
-    collision=-1.0,
+    base_height=-0.0,
     feet_air_time=1.0,
+    collision=-1.0,
+    feet_stumble=-0.0,
+    action_rate=-0.01,
+    stand_still=-0.0,
+    dof_pos_limits=-0.0,
+    dof_vel_limits=-0.0,
+    torque_limits=-0.0,
+    feet_contact_forces=-0.0,
+)
+# Locomotion-training overrides: terms the reference leaves at 0 but which
+# stabilize the retrained walk policy (dof_pos_limits per legged-gym practice,
+# orientation for flat-base tracking).
+TRAIN_SCALES = dict(
+    REWARD_SCALES,
+    orientation=-0.2,
+    dof_pos_limits=-2.0,
+    feet_stumble=-0.5,
+    feet_contact_forces=-0.001,
 )
 TRACKING_SIGMA = 0.25
+SOFT_DOF_POS_LIMIT = 0.95   # ref rewards.soft_dof_pos_limit semantics (:178)
+SOFT_DOF_VEL_LIMIT = 1.0
+SOFT_TORQUE_LIMIT = 1.0
+BASE_HEIGHT_TARGET = 0.30
+MAX_CONTACT_FORCE = 100.0   # ref rewards.max_contact_force (:182)
 
 
 @struct.dataclass
@@ -86,7 +118,8 @@ class LocomotionEnv:
 
     action_dim = 12
 
-    def __init__(self, num_envs: int = 1024, seed: int = 0, cfg=LocomotionTrainCfg):
+    def __init__(self, num_envs: int = 1024, seed: int = 0, cfg=LocomotionTrainCfg,
+                 scales: dict | None = None):
         cfg.env.num_envs = num_envs
         self.env = Go1Env(cfg, num_envs=num_envs, seed=seed)
         # train from scratch even if a body_policy asset was auto-loaded
@@ -98,7 +131,17 @@ class LocomotionEnv:
         self.num_agents = 1
         self.obs_dim = 70
         self.dt = self.env.dt
-        self.scales = {k: v * self.dt for k, v in REWARD_SCALES.items()}
+        raw = dict(TRAIN_SCALES if scales is None else scales)
+        # zero-scale terms are dropped statically (ref _prepare_reward_function
+        # legged_robot.py:665-668); all scales x dt (:659-664)
+        self.scales = {k: v * self.dt for k, v in raw.items() if v != 0.0}
+        # soft dof-position limits (ref legged_robot.py:316-321)
+        m = self.env.robot
+        mid = (m.q_lower + m.q_upper) / 2.0
+        rng = m.q_upper - m.q_lower
+        self.q_soft_lower = jnp.asarray(mid - 0.5 * rng * SOFT_DOF_POS_LIMIT)
+        self.q_soft_upper = jnp.asarray(mid + 0.5 * rng * SOFT_DOF_POS_LIMIT)
+        self.qd_limit = jnp.asarray(m.qd_limit)
         self._step_jit = jax.jit(self._step_impl)
         self._reset_jit = jax.jit(self._reset_impl)
 
@@ -189,61 +232,121 @@ class LocomotionEnv:
         # stage (joint-level training interface)
         def dec_body(carry, _):
             state, tau_sum = carry
-            tau, err_hist, _ = env._torques(state, action[:, None, :])
+            tau, err_hist, lag, _ = env._torques(state, action[:, None, :])
             phys, contacts = env._physics(state, tau)
-            state = state.replace(phys=phys, err_hist=err_hist)
-            return (state, tau_sum + tau[:, 0] ** 2), contacts
+            state = state.replace(phys=phys, err_hist=err_hist, lag_buffer=lag)
+            return (state, tau_sum + tau[:, 0] ** 2), (contacts, tau)
 
-        (state, tau_sum), contacts_seq = jax.lax.scan(
+        (state, tau_sum), (contacts_seq, tau_seq) = jax.lax.scan(
             dec_body, (es, jnp.zeros((E, 12))), None, length=env.decimation
         )
         contacts = jax.tree.map(lambda x: x[-1], contacts_seq)
+        tau_last = tau_seq[-1][:, 0]
         es = state.replace(episode_length=state.episode_length + 1)
 
-        # ---- rewards ----
+        # termination first so the `termination` reward term can see it
+        # (ref compute_reward runs after check_termination, legged_robot.py:143-146)
+        done, collide, r_term, p_term, timeout = env._termination(es, contacts)
+
+        # ---- rewards (full reference engine, legged_robot.py:1081-1173) ----
         ag = es.phys.agents
         quat = ag.quat[:, 0]
         v_body = quat_ops.quat_rotate_inverse(quat, ag.lin_vel[:, 0])
         w_body = quat_ops.quat_rotate_inverse(quat, ag.ang_vel[:, 0])
+        g_body = quat_ops.quat_rotate_inverse(
+            quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), quat.shape[:-1] + (3,))
+        )
+        q = ag.q[:, 0]
+        qd = ag.qd[:, 0]
         cmd = ts.commands
         s = self.scales
+        terms = {}
 
         lin_err = ((cmd[:, :2] - v_body[:, :2]) ** 2).sum(-1)
-        r = s["tracking_lin_vel"] * jnp.exp(-lin_err / TRACKING_SIGMA)
-        ang_err = (cmd[:, 2] - w_body[:, 2]) ** 2
-        r += s["tracking_ang_vel"] * jnp.exp(-ang_err / TRACKING_SIGMA)
-        r += s["lin_vel_z"] * v_body[:, 2] ** 2
-        r += s["ang_vel_xy"] * (w_body[:, :2] ** 2).sum(-1)
-        r += s["torques"] * tau_sum.sum(-1) / env.decimation
-        qd = ag.qd[:, 0]
-        r += s["dof_acc"] * (((ts.last_qd - qd) / self.dt) ** 2).sum(-1)
-        # action_rate on the PRESCALE-normalized RL output (the residual in
-        # residual mode — the trot base sweeps by design and must not be
-        # penalized): the reference computes this on raw ~[-1,1] policy
-        # outputs (legged_robot.py:1124-1126); our rl_prescale stretches
-        # actions, which would inflate the penalty and (with
-        # only_positive_rewards) clamp every step's reward to zero
-        r += s["action_rate"] * (((ts.last_action - resid) / self.prescale) ** 2).sum(-1)
-        pen_mask = jnp.asarray(self.env.pen_sph)
-        cf = jnp.linalg.norm(contacts.sphere_force[:, 0], axis=-1)
-        r += s["collision"] * ((cf * pen_mask[None, :]) > 0.1).sum(-1)
-
-        # feet air time (ref _reward_feet_air_time legged_robot.py:1148-1159)
-        feet_fz = contacts.feet_force[:, 0, :, 2]
+        feet_f = contacts.feet_force[:, 0]           # (E, 4, 3)
+        feet_fz = feet_f[:, :, 2]
         contact = feet_fz > 1.0
         contact_filt = contact | ts.last_contact
         first_contact = (ts.feet_air > 0) & contact_filt
         feet_air = ts.feet_air + self.dt
-        air_rew = ((feet_air - 0.5) * first_contact).sum(-1)
-        air_rew = air_rew * (jnp.linalg.norm(cmd[:, :2], axis=-1) > 0.1)
-        r += s["feet_air_time"] * air_rew
+
+        if "tracking_lin_vel" in s:
+            terms["tracking_lin_vel"] = jnp.exp(-lin_err / TRACKING_SIGMA)
+        if "tracking_ang_vel" in s:
+            terms["tracking_ang_vel"] = jnp.exp(
+                -((cmd[:, 2] - w_body[:, 2]) ** 2) / TRACKING_SIGMA
+            )
+        if "lin_vel_z" in s:
+            terms["lin_vel_z"] = v_body[:, 2] ** 2
+        if "ang_vel_xy" in s:
+            terms["ang_vel_xy"] = (w_body[:, :2] ** 2).sum(-1)
+        if "orientation" in s:
+            terms["orientation"] = (g_body[:, :2] ** 2).sum(-1)
+        if "base_height" in s:
+            # plane terrain: measured height == 0 (ref _reward_base_height)
+            terms["base_height"] = (ag.pos[:, 0, 2] - BASE_HEIGHT_TARGET) ** 2
+        if "torques" in s:
+            terms["torques"] = tau_sum.sum(-1) / env.decimation
+        if "dof_vel" in s:
+            terms["dof_vel"] = (qd ** 2).sum(-1)
+        if "dof_acc" in s:
+            terms["dof_acc"] = (((ts.last_qd - qd) / self.dt) ** 2).sum(-1)
+        if "action_rate" in s:
+            # action_rate on the PRESCALE-normalized RL output (the residual in
+            # residual mode — the trot base sweeps by design and must not be
+            # penalized): the reference computes this on raw ~[-1,1] policy
+            # outputs (legged_robot.py:1111-1113); our rl_prescale stretches
+            # actions, which would inflate the penalty and (with
+            # only_positive_rewards) clamp every step's reward to zero
+            terms["action_rate"] = (
+                ((ts.last_action - resid) / self.prescale) ** 2
+            ).sum(-1)
+        if "collision" in s:
+            pen_mask = jnp.asarray(self.env.pen_sph)
+            cf = jnp.linalg.norm(contacts.sphere_force[:, 0], axis=-1)
+            terms["collision"] = ((cf * pen_mask[None, :]) > 0.1).sum(-1).astype(jnp.float32)
+        if "termination" in s:
+            terms["termination"] = (done & ~timeout).astype(jnp.float32)
+        if "dof_pos_limits" in s:
+            out = (-jnp.minimum(q - self.q_soft_lower, 0.0)
+                   + jnp.maximum(q - self.q_soft_upper, 0.0))
+            terms["dof_pos_limits"] = out.sum(-1)
+        if "dof_vel_limits" in s:
+            terms["dof_vel_limits"] = jnp.clip(
+                jnp.abs(qd) - self.qd_limit * SOFT_DOF_VEL_LIMIT, 0.0, 1.0
+            ).sum(-1)
+        if "torque_limits" in s:
+            tl = jnp.asarray(env.torque_limits)
+            terms["torque_limits"] = jnp.maximum(
+                jnp.abs(tau_last) - tl * SOFT_TORQUE_LIMIT, 0.0
+            ).sum(-1)
+        if "feet_stumble" in s:
+            terms["feet_stumble"] = (
+                jnp.linalg.norm(feet_f[:, :, :2], axis=-1)
+                > 5.0 * jnp.abs(feet_fz)
+            ).any(-1).astype(jnp.float32)
+        if "stand_still" in s:
+            terms["stand_still"] = (
+                jnp.abs(q - jnp.asarray(env.default_q)).sum(-1)
+                * (jnp.linalg.norm(cmd[:, :2], axis=-1) < 0.1)
+            )
+        if "feet_contact_forces" in s:
+            terms["feet_contact_forces"] = jnp.maximum(
+                jnp.linalg.norm(feet_f, axis=-1) - MAX_CONTACT_FORCE, 0.0
+            ).sum(-1)
+        if "feet_air_time" in s:
+            air_rew = ((feet_air - 0.5) * first_contact).sum(-1)
+            terms["feet_air_time"] = air_rew * (
+                jnp.linalg.norm(cmd[:, :2], axis=-1) > 0.1
+            )
         feet_air = feet_air * (~contact_filt)
 
+        r = jnp.zeros((E,))
+        for k, v in terms.items():
+            r += s[k] * v
         # only_positive_rewards (ref legged_robot_config.py:176)
         r = jnp.maximum(r, 0.0)
-
-        # ---- termination + auto reset ----
-        done, collide, r_term, p_term, timeout = env._termination(es, contacts)
+        reward_terms = {k: s[k] * v for k, v in terms.items()}
         pre_reset_ep_len = jnp.maximum(es.episode_length.astype(jnp.float32), 1.0)
         fresh = env._reset_all(k_reset)
 
@@ -285,7 +388,7 @@ class LocomotionEnv:
             track_acc=track_acc,
             extra={"obs": obs},
         )
-        info = {"time_outs": timeout, "reset_mask": done, "reward_terms": {}}
+        info = {"time_outs": timeout, "reset_mask": done, "reward_terms": reward_terms}
         return ts, obs[:, None, :], r[:, None], done, info
 
     def step(self, ts, actions, key):

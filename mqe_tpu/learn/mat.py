@@ -95,6 +95,7 @@ class MATTrainer(PPOTrainer):
         )
         self._update = jax.jit(self._update_impl, donate_argnums=(0,))
         self._init_key = k2
+        self.term_names = self._discover_term_names()
 
     def _policy(self, params, obs, key):
         """Sequential (autoregressive) sampling across agents."""
@@ -141,7 +142,7 @@ class MATTrainer(PPOTrainer):
 
     def _update_impl(self, ts: TrainState):
         cfg = self.cfg
-        env_state, key, traj, final_value = self._rollout(ts)
+        env_state, key, traj, final_value, ep_acc = self._rollout(ts)
         advs, returns = self._gae(traj, final_value)
         if cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
@@ -189,6 +190,6 @@ class MATTrainer(PPOTrainer):
         )
         ts = ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
-            update_count=ts.update_count + 1,
+            update_count=ts.update_count + 1, ep_acc=ep_acc,
         )
         return ts, metrics

@@ -24,6 +24,7 @@ import optax
 from flax import struct
 
 from mqe_tpu.learn.networks import ActorCritic, gaussian_logp
+from mqe_tpu.utils.metrics import EpisodeAccumulator
 
 
 @dataclass(frozen=True)
@@ -52,6 +53,7 @@ class TrainState:
     update_count: jnp.ndarray
     ret_mean: jnp.ndarray        # running return normalization (valuenorm-lite)
     ret_var: jnp.ndarray
+    ep_acc: EpisodeAccumulator   # extras["episode"]-style per-term episode means
 
 
 class PPOTrainer:
@@ -72,10 +74,25 @@ class PPOTrainer:
         )
         self._update = jax.jit(self._update_impl, donate_argnums=(0,))
         self._init_key = k2
+        self.term_names = self._discover_term_names()
         # split-phase mode: rollout and SGD as two smaller device programs
         # (remote-compile services can choke on the fused env+autodiff graph)
         self._rollout_jit = None
         self._sgd_jit = None
+
+    def _discover_term_names(self):
+        """Discover the wrapper's static reward-term key set by abstract trace
+        (term names are per-task constants; no compute happens here)."""
+        try:
+            ts_s, _ = jax.eval_shape(self.w._reset_impl, jax.random.PRNGKey(0))
+            act_s = jax.ShapeDtypeStruct((self.E, self.A, self.act_dim), jnp.float32)
+            out = jax.eval_shape(
+                lambda t, a, k: self.w._step_impl(t, self.w.rl_prescale(a), k),
+                ts_s, act_s, jax.random.PRNGKey(0),
+            )
+            return tuple(sorted(out[4]["reward_terms"].keys()))
+        except Exception:
+            return ()
 
     def init_state(self) -> TrainState:
         key, k = jax.random.split(self._init_key)
@@ -88,6 +105,7 @@ class PPOTrainer:
             update_count=jnp.zeros((), jnp.int32),
             ret_mean=jnp.zeros(()),
             ret_var=jnp.ones(()),
+            ep_acc=EpisodeAccumulator.create(self.E, self.term_names),
         )
 
     # ------------------------------------------------------------------
@@ -102,12 +120,15 @@ class PPOTrainer:
         cfg = self.cfg
 
         def step(carry, _):
-            env_state, key = carry
+            env_state, key, acc = carry
             key, k_act, k_env = jax.random.split(key, 3)
             obs = self.w.observe(env_state)
             action, logp, value = self._policy(ts.params, obs, k_act)
             env_state, next_obs, reward, done, info = self.w._step_impl(
                 env_state, self.w.rl_prescale(action), k_env
+            )
+            acc = acc.update(
+                reward[:, : self.A].mean(-1), done, info.get("reward_terms")
             )
             if cfg.algo == "jrpo":
                 reward = reward.mean(axis=-1, keepdims=True).repeat(reward.shape[-1], -1)
@@ -115,14 +136,14 @@ class PPOTrainer:
                 obs=obs, action=action, logp=logp, value=value,
                 reward=reward[:, : self.A], done=done,
             )
-            return (env_state, key), trans
+            return (env_state, key, acc), trans
 
-        (env_state, key), traj = jax.lax.scan(
-            step, (ts.env_state, ts.key), None, length=cfg.rollout_len
+        (env_state, key, ep_acc), traj = jax.lax.scan(
+            step, (ts.env_state, ts.key, ts.ep_acc), None, length=cfg.rollout_len
         )
         final_obs = self.w.observe(env_state)
         final_value = self._value(ts.params, final_obs)
-        return env_state, key, traj, final_value
+        return env_state, key, traj, final_value, ep_acc
 
     def _value(self, params, obs):
         _, _, value = self.net.apply(params, obs)
@@ -167,7 +188,7 @@ class PPOTrainer:
 
     def _update_impl(self, ts: TrainState):
         cfg = self.cfg
-        env_state, key, traj, final_value = self._rollout(ts)
+        env_state, key, traj, final_value, ep_acc = self._rollout(ts)
         advs, returns = self._gae(traj, final_value)
         if cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
@@ -215,7 +236,7 @@ class PPOTrainer:
         )
         ts = ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
-            update_count=ts.update_count + 1,
+            update_count=ts.update_count + 1, ep_acc=ep_acc,
         )
         return ts, metrics
 
@@ -223,19 +244,20 @@ class PPOTrainer:
         return self._update(ts)
 
     # ---- split-phase path ----
-    def _rollout_fn(self, params, env_state, key):
-        class _TS:  # lightweight view for _rollout's ts.params/ts.env_state/ts.key
+    def _rollout_fn(self, params, env_state, key, ep_acc):
+        class _TS:  # lightweight view for _rollout's ts.{params,env_state,key,ep_acc}
             pass
 
         view = _TS()
         view.params = params
         view.env_state = env_state
         view.key = key
-        env_state, key, traj, final_value = self._rollout(view)
+        view.ep_acc = ep_acc
+        env_state, key, traj, final_value, ep_acc = self._rollout(view)
         advs, returns = self._gae(traj, final_value)
         if self.cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
-        return env_state, key, traj, advs, returns
+        return env_state, key, traj, advs, returns, ep_acc
 
     def _sgd_fn(self, params, opt_state, batch, key):
         cfg = self.cfg
@@ -271,7 +293,9 @@ class PPOTrainer:
         if self._rollout_jit is None:
             self._rollout_jit = jax.jit(self._rollout_fn)
             self._sgd_jit = jax.jit(self._sgd_fn, donate_argnums=(0, 1))
-        env_state, key, traj, advs, returns = self._rollout_jit(ts.params, ts.env_state, ts.key)
+        env_state, key, traj, advs, returns, ep_acc = self._rollout_jit(
+            ts.params, ts.env_state, ts.key, ts.ep_acc
+        )
         T, E, A = self.cfg.rollout_len, self.E, self.A
         flat = lambda x: x.reshape((T * E * A,) + x.shape[3:])
         batch = dict(
@@ -291,7 +315,7 @@ class PPOTrainer:
         )
         return ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
-            update_count=ts.update_count + 1,
+            update_count=ts.update_count + 1, ep_acc=ep_acc,
         ), metrics
 
     def update_many(self, ts: TrainState, n: int):
@@ -311,13 +335,28 @@ class PPOTrainer:
             self._update_many_n = n
         return self._update_many(ts)
 
+    # ---- full checkpoint/resume (params + opt state + env state + key +
+    # counters; VERDICT r1 #6 — the reference loses everything between
+    # agent.save calls, ref openrl_ws/train.py:68-70) ----
+    def save_checkpoint(self, ts: TrainState, path: str):
+        from mqe_tpu.utils.checkpoint import save_pytree
+
+        return save_pytree(path, ts)
+
+    def restore_checkpoint(self, path: str) -> TrainState:
+        from mqe_tpu.utils.checkpoint import restore_pytree
+
+        return restore_pytree(path, self.init_state())
+
     def train(self, total_env_steps: int, log_every: int = 10, callback=None,
-              updates_per_call: int = 1, split: bool = False):
-        ts = self.init_state()
+              updates_per_call: int = 1, split: bool = False,
+              resume_state: TrainState | None = None,
+              checkpoint_path: str | None = None, checkpoint_every: int = 0):
+        ts = resume_state if resume_state is not None else self.init_state()
         steps_per_update = self.cfg.rollout_len * self.E * self.A
         n_updates = max(1, total_env_steps // steps_per_update)
         history = []
-        i = 0
+        i = int(ts.update_count)
         calls = 0
         while i < n_updates:
             if split:
@@ -331,10 +370,16 @@ class PPOTrainer:
                 ts, metrics = self.update(ts)
                 i += 1
             calls += 1
+            if checkpoint_every and checkpoint_path and calls % checkpoint_every == 0:
+                self.save_checkpoint(ts, checkpoint_path)
             if calls % log_every == 0 or i >= n_updates:
                 m = {k_: float(v) for k_, v in metrics.items()}
                 m["update"] = i
                 m["env_steps"] = i * steps_per_update
+                # per-term episode means over the episodes completed this
+                # window (ref extras["episode"], legged_robot.py:1063-1076)
+                m.update(ts.ep_acc.summarize())
+                ts = ts.replace(ep_acc=ts.ep_acc.reset_window())
                 history.append(m)
                 if callback:
                     callback(m)
@@ -345,4 +390,6 @@ class PPOTrainer:
                         f"done_frac={m['done_frac']:.3f}",
                         flush=True,
                     )
+        if checkpoint_path:
+            self.save_checkpoint(ts, checkpoint_path)
         return ts, history

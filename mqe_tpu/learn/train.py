@@ -4,7 +4,15 @@
       --train-timesteps 40000000 --checkpoint-dir ./checkpoints
 
 Algorithms: ppo, jrpo, dppo, mat (OpenRL menu, ref train.py:25-51).
-Checkpoints are orbax pytrees.
+Checkpoints are .npz pytree snapshots of the FULL TrainState (params,
+optimizer state, env state, PRNG key, update count) saved periodically;
+`--resume` continues an interrupted run exactly where it left off — unlike the
+reference, which saves params once at the end (ref openrl_ws/train.py:68-70).
+
+Logging sinks: JSON lines (stdout and --log-file), optional TensorBoard
+(--use-tensorboard, ref train.py:60-65) and wandb (--use-wandb, ref
+train.py:52-58; gated on the package being installed). Per-term episode means
+(the reference's extras["episode"]) are included in every log record.
 """
 from __future__ import annotations
 
@@ -24,9 +32,17 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=7e-4)
     p.add_argument("--rollout-len", type=int, default=32)
     p.add_argument("--checkpoint-dir", default="./checkpoints")
+    p.add_argument("--checkpoint-every", type=int, default=50,
+                   help="save full TrainState every N update calls (0 = end only)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--log-file", default=None)
-    p.add_argument("--resume", default=None, help="checkpoint path to resume params from")
+    p.add_argument("--use-tensorboard", action="store_true")
+    p.add_argument("--tb-dir", default="./tb")
+    p.add_argument("--use-wandb", action="store_true")
+    p.add_argument("--wandb-project", default="mqe_tpu")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path: full TrainState resume (params-only "
+                        "checkpoints from eval exports also accepted)")
     p.add_argument("--profile-dir", default=None, help="capture a jax profiler trace here")
     args = p.parse_args(argv)
 
@@ -54,6 +70,20 @@ def main(argv=None):
     )
 
     logf = open(args.log_file, "a") if args.log_file else None
+    tb = None
+    if args.use_tensorboard:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb = SummaryWriter(os.path.join(args.tb_dir, f"{args.task}_{args.algo}"))
+    wb = None
+    if args.use_wandb:
+        try:
+            import wandb as wb  # noqa: F811
+
+            wb.init(project=args.wandb_project, config=vars(args))
+        except ImportError:
+            print("wandb not installed; skipping (JSON/TB sinks still active)", flush=True)
+            wb = None
 
     def cb(m):
         line = json.dumps({"task": args.task, "algo": args.algo, **m})
@@ -61,33 +91,53 @@ def main(argv=None):
         if logf:
             logf.write(line + "\n")
             logf.flush()
+        if tb is not None:
+            step = m.get("env_steps", 0)
+            for k, v in m.items():
+                if isinstance(v, (int, float)) and k != "env_steps":
+                    tb.add_scalar(k, v, step)
+        if wb is not None:
+            wb.log(m)
 
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    ckpt_path = os.path.abspath(
+        os.path.join(args.checkpoint_dir, f"{args.task}_{args.algo}")
+    )
+
+    resume_state = None
     if args.resume:
-        import orbax.checkpoint as ocp
+        try:
+            resume_state = trainer.restore_checkpoint(args.resume)
+            print(f"resumed full TrainState from {args.resume} "
+                  f"(update {int(resume_state.update_count)})", flush=True)
+        except Exception as e:  # params-only checkpoint (eval export)
+            import orbax.checkpoint as ocp
 
-        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
-        trainer.init_params = restored["params"]
-        print(f"resumed params from {args.resume}", flush=True)
+            restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.resume))
+            trainer.init_params = restored["params"]
+            print(f"resumed params only from {args.resume} ({e.__class__.__name__})",
+                  flush=True)
 
     t0 = time.time()
+    kwargs = dict(
+        callback=cb,
+        resume_state=resume_state,
+        checkpoint_path=ckpt_path,
+        checkpoint_every=args.checkpoint_every,
+    )
     if args.profile_dir:
         from mqe_tpu.utils.metrics import profile_trace
 
         with profile_trace(args.profile_dir):
-            ts, history = trainer.train(args.train_timesteps, callback=cb)
+            ts, history = trainer.train(args.train_timesteps, **kwargs)
     else:
-        ts, history = trainer.train(args.train_timesteps, callback=cb)
+        ts, history = trainer.train(args.train_timesteps, **kwargs)
     wall = time.time() - t0
     print(f"trained {args.train_timesteps} env steps in {wall:.0f}s "
           f"({args.train_timesteps / wall:.0f} steps/s)", flush=True)
-
-    os.makedirs(args.checkpoint_dir, exist_ok=True)
-    import orbax.checkpoint as ocp
-
-    path = os.path.abspath(os.path.join(args.checkpoint_dir, f"{args.task}_{args.algo}"))
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(path, {"params": ts.params}, force=True)
-    print(f"saved checkpoint to {path}", flush=True)
+    print(f"saved checkpoint to {ckpt_path}", flush=True)
+    if tb is not None:
+        tb.close()
 
 
 if __name__ == "__main__":

@@ -20,30 +20,41 @@ from flax import struct
 
 @struct.dataclass
 class EpisodeAccumulator:
-    """Running per-env episode sums + completed-episode aggregates."""
+    """Per-env running episode sums, flushed into completed-episode aggregates
+    at reset — the device-side equivalent of the reference's `episode_sums`
+    buffers + `_fill_extras` means (ref legged_robot.py:1063-1076, 669-677).
+
+    Live in a jitted step/update loop: `acc = acc.update(reward, done, terms)`.
+    `summarize()` pulls host scalars: per-term mean episode sum over the
+    episodes completed since the last `reset_window()`.
+    """
 
     term_sums: dict            # name -> (E,) running sums for live episodes
     ep_return: jnp.ndarray     # (E,) running reward sum
     ep_len: jnp.ndarray        # (E,)
-    done_count: jnp.ndarray    # () completed episodes
+    done_count: jnp.ndarray    # () completed episodes in this window
     done_return_sum: jnp.ndarray
     done_len_sum: jnp.ndarray
+    done_term_sums: dict       # name -> () flushed sums of completed episodes
 
     @staticmethod
     def create(num_envs: int, term_names):
-        z = jnp.zeros(num_envs)
+        # distinct buffers per leaf: aliased leaves break donate_argnums
+        # ("attempt to donate the same buffer twice")
+        z = lambda *s: jnp.zeros(s)
         return EpisodeAccumulator(
-            term_sums={k: z for k in term_names},
-            ep_return=z,
-            ep_len=z,
-            done_count=jnp.zeros(()),
-            done_return_sum=jnp.zeros(()),
-            done_len_sum=jnp.zeros(()),
+            term_sums={k: z(num_envs) for k in term_names},
+            ep_return=z(num_envs),
+            ep_len=z(num_envs),
+            done_count=z(),
+            done_return_sum=z(),
+            done_len_sum=z(),
+            done_term_sums={k: z() for k in term_names},
         )
 
     def update(self, reward_env, done, term_values=None):
         """reward_env: (E,) per-env reward this step; done: (E,) bool;
-        term_values: dict name -> scalar or (E,) per-step term sums."""
+        term_values: dict name -> scalar or (E,) per-step term values."""
         ep_return = self.ep_return + reward_env
         ep_len = self.ep_len + 1.0
         d = done.astype(jnp.float32)
@@ -56,21 +67,35 @@ class EpisodeAccumulator:
         )
         if term_values:
             sums = dict(self.term_sums)
-            for k, v in term_values.items():
-                if k in sums:
-                    sums[k] = sums[k] + jnp.broadcast_to(v, sums[k].shape) / sums[k].shape[0]
-            acc = acc.replace(term_sums=sums)
+            flushed = dict(self.done_term_sums)
+            for k in self.term_sums:
+                if k not in term_values:
+                    continue
+                run = sums[k] + jnp.broadcast_to(term_values[k], sums[k].shape)
+                flushed[k] = flushed[k] + (run * d).sum()
+                sums[k] = run * (1 - d)
+            acc = acc.replace(term_sums=sums, done_term_sums=flushed)
         return acc
 
+    def reset_window(self):
+        """Zero the completed-episode aggregates (live-episode sums persist)."""
+        return self.replace(
+            done_count=jnp.zeros(()),
+            done_return_sum=jnp.zeros(()),
+            done_len_sum=jnp.zeros(()),
+            done_term_sums={k: jnp.zeros(()) for k in self.done_term_sums},
+        )
+
     def summarize(self) -> dict:
-        n = float(self.done_count) + 1e-9
+        n = float(self.done_count)
+        d = max(n, 1e-9)
         out = {
-            "episodes": float(self.done_count),
-            "mean_episode_return": float(self.done_return_sum) / n,
-            "mean_episode_length": float(self.done_len_sum) / n,
+            "episodes": n,
+            "mean_episode_return": float(self.done_return_sum) / d,
+            "mean_episode_length": float(self.done_len_sum) / d,
         }
-        for k, v in self.term_sums.items():
-            out[f"rew_{k}"] = float(jnp.asarray(v).mean())
+        for k, v in self.done_term_sums.items():
+            out[f"rew_{k}"] = float(v) / d
         return out
 
 

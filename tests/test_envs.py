@@ -100,3 +100,63 @@ def test_gate_commands_move_robot(gate):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def test_terrain_curriculum_levels_progress():
+    """Runtime terrain curriculum (ref _update_terrain_curriculum
+    legged_robot.py:479-503): envs that cross half the track promote on
+    reset; envs short of half the commanded distance demote (floored at 0)."""
+    from mqe_tpu.envs.config import Go1Cfg
+    from mqe_tpu.envs.go1_env import Go1Env
+
+    class CurrCfg(Go1Cfg):
+        class env(Go1Cfg.env):
+            num_envs = 4
+            num_agents = 1
+            num_npcs = 0
+            episode_length_s = 2.0
+
+        class terrain(Go1Cfg.terrain):
+            mesh_type = "heightfield"
+            selected = "Legacy"
+            curriculum = True
+            num_rows = 4
+            num_cols = 2
+            terrain_length = 8.0
+            terrain_width = 8.0
+
+    env = Go1Env(CurrCfg, num_envs=4, seed=0)
+    assert env.curriculum and env.num_levels == 4
+    key = jax.random.PRNGKey(0)
+    state = env._reset_all(key)
+    lv0 = np.asarray(state.terrain_levels).copy()
+
+    # teleport agents past half the track and force a timeout-reset
+    ag = state.phys.agents
+    moved = ag.replace(pos=ag.pos.at[..., 0].add(env.curr_up_dist + 1.0))
+    state = state.replace(
+        phys=state.phys.replace(agents=moved),
+        episode_length=jnp.full((4,), env.max_episode_length, dtype=jnp.int32),
+    )
+    cmds = jnp.zeros((4, 1, 3))
+    state2, obs, done, info = env.step(state, cmds, jax.random.PRNGKey(1))
+    assert np.asarray(done).all()
+    lv1 = np.asarray(state2.terrain_levels)
+    # promoted (or wrapped to a random level if already at the top)
+    at_top = lv0 == env.num_levels - 1
+    assert (lv1[~at_top] == lv0[~at_top] + 1).all()
+
+    # spawn positions follow the level: env origins match the level's row
+    expect = np.asarray(env.grid_env_origins)[lv1, np.asarray(env.env_cols_j)]
+    got = np.asarray(env._origins_for(state2.terrain_levels)[0])
+    np.testing.assert_allclose(got, expect)
+
+    # demotion: stay at origin with a large command -> level drops (>=0)
+    state3 = state2.replace(
+        episode_length=jnp.full((4,), env.max_episode_length, dtype=jnp.int32),
+        commands=jnp.ones((4, 1, 3)),
+    )
+    state4, _, done4, _ = env.step(state3, jnp.ones((4, 1, 3)), jax.random.PRNGKey(2))
+    assert np.asarray(done4).all()
+    lv2 = np.asarray(state4.terrain_levels)
+    assert (lv2 <= lv1).all() and (lv2 >= 0).all()
