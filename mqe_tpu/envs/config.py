@@ -239,6 +239,10 @@ class Go1Cfg:
             last_last_action = True
             clock_inputs = False
             env_info = True
+            # onboard forward camera (ref legged_robot_field_config.py:72-77;
+            # dead in all 13 predefined tasks, available here for parity)
+            depth_image = False
+            rgb_image = False
 
         class scales:
             base_pos = 1.0
@@ -247,12 +251,27 @@ class Go1Cfg:
     class normalization:
         clip_actions = 10.0
         clip_observations = 100.0
+        # ref legged_robot_field.py:96-115: "hard" | "tanh"; delta rate-limits
+        # the command against the previous step's (None = off)
+        clip_actions_method = "hard"
+        clip_actions_delta = None
 
         class obs_scales:
             lin_vel = 2.0
             ang_vel = 0.25
             dof_pos = 1.0
             dof_vel = 0.05
+
+    class sensor:
+        # ref legged_robot_field_config.py:72-77 (+ isaacgym's default 90deg
+        # horizontal fov); far/near are our analytic-raycaster clip range
+        class forward_camera:
+            resolution = [16, 16]
+            position = [0.26, 0.0, 0.03]   # in base_link
+            rotation = [0.0, 0.0, 0.0]     # ZYX euler in base_link
+            horizontal_fov = 90.0
+            near = 0.05
+            far = 4.0
 
     class physx:
         # contact model tuning (TPU penalty-contact replacement for the

@@ -51,6 +51,10 @@ class ObsBuf:
     last_action: jnp.ndarray       # (E, A, 12) locomotion-level
     last_last_action: jnp.ndarray  # (E, A, 12)
     env_info: dict                 # oracle terrain info, e.g. gate_deviation (E, 2)
+    # onboard forward camera (ref legged_robot_field.py:23-93); None unless
+    # cfg.obs.cfgs.depth_image / rgb_image are on
+    depth_image: jnp.ndarray | None = None  # (E, A, H, W) meters in [0, far]
+    rgb_image: jnp.ndarray | None = None    # (E, A, H, W, 3) in [0, 1]
 
 
 @struct.dataclass
@@ -308,6 +312,35 @@ class Go1Env:
             ni[:, :3] = pos
             ni[:, 6] = 1.0
             self.npc_init = jnp.asarray(ni)
+
+        # ---- onboard forward camera (ref legged_robot_field.py:23-93) ----
+        oc = cfg.obs.cfgs
+        self.cam_depth = bool(getattr(oc, "depth_image", False))
+        self.cam_rgb = bool(getattr(oc, "rgb_image", False))
+        if self.cam_depth or self.cam_rgb:
+            from mqe_tpu.render import onboard
+
+            fc = cfg.sensor.forward_camera
+            self.cam_res = tuple(fc.resolution)
+            rays = onboard.camera_rays(self.cam_res, fc.horizontal_fov)
+            self._cam_rays = jnp.asarray(rays.reshape(-1, 3))     # (R, 3)
+            self.cam_offset = jnp.asarray(fc.position, dtype=jnp.float32)
+            # ZYX euler -> rotation matrix (camera mount in base frame,
+            # ref Quat.from_euler_zyx at legged_robot_field.py:85)
+            r_, p_, y_ = fc.rotation
+            Rz = np.array([[np.cos(y_), -np.sin(y_), 0], [np.sin(y_), np.cos(y_), 0], [0, 0, 1]])
+            Ry = np.array([[np.cos(p_), 0, np.sin(p_)], [0, 1, 0], [-np.sin(p_), 0, np.cos(p_)]])
+            Rx = np.array([[1, 0, 0], [0, np.cos(r_), -np.sin(r_)], [0, np.sin(r_), np.cos(r_)]])
+            self.cam_rot = jnp.asarray((Rz @ Ry @ Rx).astype(np.float32))
+            self.cam_far = float(fc.far)
+            # sphere-impostor radii for the other actors seen by the camera
+            self.cam_agent_radius = 0.3
+            if self.npc is not None and len(self.npc.sph_tags) > 0:
+                self.cam_npc_radius = float(np.max(self.npc.sph_radius))
+            else:
+                self.cam_npc_radius = 0.25
+        else:
+            self._cam_rays = None
 
         self._step = jax.jit(self._step_impl)
         self._reset_all = jax.jit(self._reset_all_impl)
@@ -636,6 +669,9 @@ class Go1Env:
         g_body = quat_ops.quat_rotate_inverse(
             ag.quat, jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), ag.quat.shape[:-1] + (3,))
         )
+        depth_img = rgb_img = None
+        if self._cam_rays is not None:
+            depth_img, rgb_img = self._render_cameras(state)
         return ObsBuf(
             base_pos=(ag.pos - origins),
             base_quat=ag.quat,
@@ -649,7 +685,65 @@ class Go1Env:
             last_action=state.last_loco_action,
             last_last_action=state.last2_loco_action,
             env_info=self.env_info,
+            depth_image=depth_img,
+            rgb_image=rgb_img,
         )
+
+    def _render_cameras(self, state: EnvState):
+        """Batched onboard depth/RGB render (ref onboard camera sensors,
+        legged_robot_field.py:23-93 / helpers.py:263-374). Other actors are
+        sphere impostors at their root positions — a 16x16 RL depth sensor,
+        not a visual rasterizer (PARITY.md documents the deviation)."""
+        from mqe_tpu.render import onboard
+
+        ag = state.phys.agents
+        E, A = self.num_envs, self.num_agents
+        N = self.num_npcs
+        H, W = self.cam_res
+        Rb = quat_ops.quat_to_matrix(ag.quat)                      # (E, A, 3, 3)
+        cam_o = ag.pos + jnp.einsum("eaij,j->eai", Rb, self.cam_offset)
+        d_world = jnp.einsum(
+            "eaij,rj->eari", Rb @ self.cam_rot, self._cam_rays
+        )                                                          # (E, A, R, 3)
+
+        # sphere impostors: every agent + every NPC root; each camera masks
+        # out its own body
+        cent = ag.pos                                              # (E, A, 3)
+        rad = jnp.full((E, A), self.cam_agent_radius)
+        if N > 0:
+            cent = jnp.concatenate([cent, state.phys.npcs.pos], axis=1)
+            rad = jnp.concatenate([rad, jnp.full((E, N), self.cam_npc_radius)], axis=1)
+        valid = jnp.ones((A, A + N)).at[:, :A].add(-jnp.eye(A))    # (A, M)
+        spheres = jnp.concatenate(
+            [cent, rad[..., None], jnp.ones((E, A + N, 1))], axis=-1
+        )                                                          # (E, M, 5)
+
+        boxes = self.env_boxes                                     # (E, B, 7)
+        sg = self.static_geoms
+        if self.n_static:
+            sg_boxes = jnp.concatenate(
+                [sg[:, :, 1:7], ((sg[:, :, 0] == S.SG_BOX) * sg[:, :, 7])[..., None]],
+                axis=-1,
+            )
+            boxes = jnp.concatenate([boxes, sg_boxes], axis=1)
+
+        flat_h = self.scene.flat_height
+
+        def cam_one(o, d, boxes_e, sph_e, v_a):
+            sph = sph_e.at[:, 4].multiply(v_a)
+            return onboard.render(
+                o, d, boxes_e, sph, self.cam_far, flat_height=flat_h,
+                hf=self.hf, hf_origin=self.hf_origin, hf_scale=self.hf_scale,
+                rgb=self.cam_rgb,
+            )
+
+        per_env = jax.vmap(cam_one, in_axes=(0, 0, None, None, 0))  # over A
+        depth, rgb = jax.vmap(per_env, in_axes=(0, 0, 0, 0, None))(
+            cam_o, d_world, boxes, spheres, valid
+        )
+        depth_img = depth.reshape(E, A, H, W) if self.cam_depth else None
+        rgb_img = rgb.reshape(E, A, H, W, 3) if (self.cam_rgb and rgb is not None) else None
+        return depth_img, rgb_img
 
     def _npc_script(self, state: EnvState, key):
         """Scripted NPC dynamics at control rate (sheep flee, ref
@@ -721,6 +815,19 @@ class Go1Env:
         if self.npc_behavior == "defender":
             dcmd = self._defender_commands(state)
             commands = jnp.concatenate([commands, dcmd[:, None, :]], axis=1)
+        # action clip modes (ref legged_robot_field.py:96-115): "tanh" squashes
+        # raw actions through tanh * clip_actions; "hard" (default) clips;
+        # clip_actions_delta additionally rate-limits against the last command
+        nrm = cfg.normalization
+        method = getattr(nrm, "clip_actions_method", "hard")
+        if method == "tanh":
+            commands = jnp.tanh(commands) * jnp.asarray(nrm.clip_actions)
+        delta = getattr(nrm, "clip_actions_delta", None)
+        if delta is not None:
+            d_arr = jnp.asarray(delta)
+            commands = jnp.clip(
+                commands, state.commands - d_arr, state.commands + d_arr
+            )
         # reference clips incoming (pre-scaled) commands to [-1, 1]
         # (ref go1.py:38: torch.clip(action, -1, 1) after wrapper scaling)
         commands = jnp.clip(commands, -1.0, 1.0)
