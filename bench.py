@@ -5,8 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline context: the reference publishes no throughput numbers
 (BASELINE.md); its canonical training scale is 500 envs on one GPU. We
 measure control-steps/s * num_envs (agent-steps would be 2x). vs_baseline
-compares against the 25k env-steps/s a single-GPU Isaac Gym setup typically
-sustains at 500 envs on this task class (est.).
+compares against a 25k env-steps/s ESTIMATE of what a single-GPU Isaac Gym
+setup typically sustains at 500 envs on this task class — our own estimate,
+NOT a published reference number (the reference publishes none; BASELINE.md).
+Default scale is the north-star 4096 envs on accelerators (512 was round 1's
+scale; see BENCHLOG.md for the full matrix).
 """
 import argparse
 import json
@@ -31,7 +34,7 @@ def main():
 
     backend = jax.default_backend()
     # pick an env count that saturates the device
-    num_envs = args.num_envs or (512 if backend != "cpu" else 16)
+    num_envs = args.num_envs or (4096 if backend != "cpu" else 16)
 
     wrap, _ = make_mqe_env(args.task, num_envs=num_envs, seed=0)
     key = jax.random.PRNGKey(0)

@@ -597,13 +597,35 @@ class Go1Env:
         return tau, new_hist, lag, target
 
     def _physics(self, state: EnvState, tau):
-        """One decimation substep: subiters x scene.substep, vmapped over E."""
+        """One decimation substep: subiters x scene substep over the env batch.
+
+        Default path is scene.substep_batch (SoA dynamics: the robot batch
+        rides the TPU lane axis - BENCHLOG.md round 2); use_soa=False falls
+        back to vmap(scene.substep) (AoS) for A/B comparison.
+        """
         npc_nq = self.npc.nq if (self.npc is not None and self.npc_has_collision) else 0
         npc_tau = jnp.zeros((self.num_envs, self.scene.num_npcs, npc_nq))
         env_boxes = (
             self.grid_boxes[state.terrain_levels, self.env_cols_j]
             if self.curriculum else self.env_boxes
         )
+
+        if self.scene.use_soa:
+            t = S.Terrain(
+                height=self.hf, origin=self.hf_origin, scale=self.hf_scale,
+                boxes=env_boxes, static_geoms=self.static_geoms,
+            )
+
+            def sub_b(phys, _):
+                phys, contacts = S.substep_batch(
+                    self.scene, t, phys, tau, npc_tau, state.dr,
+                    self.sim_dt / self.subiters,
+                )
+                return phys, contacts
+
+            phys, contacts_seq = jax.lax.scan(sub_b, state.phys, None, length=self.subiters)
+            contacts = jax.tree.map(lambda x: x[-1], contacts_seq)
+            return phys, contacts
 
         def one(phys, tau_e, npc_tau_e, dr_e, boxes_e, sg_e):
             t = S.Terrain(

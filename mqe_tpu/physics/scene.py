@@ -88,7 +88,10 @@ class SceneModel:
     npc_root_free: bool = True
     contact: C.ContactParams = C.DEFAULT_PARAMS
     self_collision: bool = True
-    use_pallas: bool = False   # fused Pallas kernel for sphere-vs-box contact
+    # SoA articulated dynamics (physics/soa.py) via substep_batch: batch on
+    # the TPU lane axis. False falls back to vmap(substep) (AoS; used for A/B
+    # and by single-env test harnesses).
+    use_soa: bool = True
     # ground height when the task heightfield is constant (all 13 predefined
     # tasks: ground is flat, obstacles are analytic boxes) -> analytic plane
     # contact, no bilinear gathers. None = sample the heightfield.
@@ -182,7 +185,10 @@ def _terrain_and_box_force(
 ):
     """Force on spheres from heightfield + env wall boxes + static geoms.
 
-    pos/vel: (ns,3); radius: (ns,). Returns (ns,3).
+    pos/vel: (ns,3); radius: (ns,). Returns (ns,3). (use_pallas is a vestigial
+    arg kept for call-site compatibility: the hand Pallas contact kernel
+    benchmarked 0.4-0.5x vs this XLA pipeline on the real chip and was
+    removed - BENCHLOG.md round 2.)
     """
     if flat_height is not None:
         f = C.sphere_plane(pos, vel, radius, flat_height, params, mu_scale)
@@ -191,23 +197,14 @@ def _terrain_and_box_force(
             pos, vel, radius, terrain.height, terrain.origin, terrain.scale, params, mu_scale
         )
     # env wall boxes: (B,7)
-    if use_pallas:
-        from mqe_tpu.ops.pallas_contact import sphere_boxes_pallas
-
-        fb_sum = sphere_boxes_pallas(
-            pos[None], vel[None], radius, terrain.boxes[None],
-            jnp.reshape(mu_scale, (1,)), params,
-        )[0]
-        f = f + fb_sum
-    else:
-        bc = terrain.boxes[:, 0:3]
-        bh = terrain.boxes[:, 3:6]
-        bvalid = terrain.boxes[:, 6]
-        fb = C.sphere_box(
-            pos[:, None, :], vel[:, None, :], radius[:, None],
-            bc[None, :, :], bh[None, :, :], params, mu_scale,
-        )
-        f = f + (fb * bvalid[None, :, None]).sum(axis=1)
+    bc = terrain.boxes[:, 0:3]
+    bh = terrain.boxes[:, 3:6]
+    bvalid = terrain.boxes[:, 6]
+    fb = C.sphere_box(
+        pos[:, None, :], vel[:, None, :], radius[:, None],
+        bc[None, :, :], bh[None, :, :], params, mu_scale,
+    )
+    f = f + (fb * bvalid[None, :, None]).sum(axis=1)
     # static geoms: (G,8) rows [kind, cx,cy,cz, p0,p1,p2, valid]
     sg = terrain.static_geoms
     if sg.shape[0] > 0:
@@ -342,7 +339,7 @@ def substep(
     flat_v = sph_v.reshape(A * ns, 3)
     flat_r = jnp.tile(sph_r, (A,))
     force = _terrain_and_box_force(
-        flat_x, flat_v, flat_r, terrain, params, dr.mu_scale, scene.use_pallas,
+        flat_x, flat_v, flat_r, terrain, params, dr.mu_scale, False,
         scene.flat_height,
     )
 
@@ -358,7 +355,7 @@ def substep(
         nflat_v = nsph_v.reshape(N * len(npc.sph_tags), 3)
         nflat_r = jnp.tile(nsph_r, (N,))
         npc_force_sph = _terrain_and_box_force(
-            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale, scene.use_pallas,
+            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale, False,
             scene.flat_height,
         )
         # NPC-NPC sphere pairs (sheep flock bumping)
@@ -445,5 +442,167 @@ def substep(
     # ---- contact summary ----
     fi = jnp.asarray(scene.foot_sphere_indices())
     feet_force = force[:, fi]
+    contacts = Contacts(sphere_force=force, npc_sphere_force=nsph_f, feet_force=feet_force)
+    return PhysState(agents=new_agents, npcs=new_npcs), contacts
+
+def substep_batch(
+    scene: SceneModel,
+    terrain: Terrain,          # boxes/static_geoms carry a leading env axis
+    state: PhysState,          # all actor arrays carry a leading env axis (E, ...)
+    tau: jnp.ndarray,          # (E, A, nq)
+    npc_tau: jnp.ndarray,      # (E, N, nq_npc)
+    dr: DomainRand,            # env-batched
+    dt: float,
+):
+    """One physics substep for the WHOLE env batch (TPU layout-native).
+
+    Mathematically identical to vmap(substep) but articulated dynamics run in
+    the SoA formulation (physics/soa.py): the flattened robot batch rides the
+    TPU lane axis instead of the 3/6-wide trailing dims, which removes the
+    AoS path's ~20x lane-utilization penalty (measured 6.9 ms -> sub-ms for
+    ABA+integrate at 8192 robots on one v5-lite chip, BENCHLOG.md round 2).
+    Contact (terrain gather, box tests, NPC primitives, agent-agent pairs)
+    stays in the existing vmapped form - it is wide and gather-bound, which
+    XLA already handles well.
+    """
+    from mqe_tpu.physics import soa
+
+    robot = scene.robot
+    A = scene.num_agents
+    N = scene.num_npcs
+    params = scene.contact
+    ag = state.agents
+    E = ag.pos.shape[0]
+    ns = len(robot.sph_tags)
+
+    def flat(x):
+        return x.reshape((E * A,) + x.shape[2:])
+
+    # ---- agent kinematics + spheres (SoA over E*A robots) ----
+    sph_x_f, sph_v_f = soa.fk_spheres(
+        robot, flat(ag.pos), flat(ag.quat), flat(ag.lin_vel), flat(ag.ang_vel),
+        flat(ag.q), flat(ag.qd),
+    )
+    sph_x = sph_x_f.reshape(E, A, ns, 3)
+    sph_v = sph_v_f.reshape(E, A, ns, 3)
+    sph_r = jnp.asarray(robot.sph_radius, dtype=sph_x.dtype)
+
+    # ---- NPC kinematics (SoA over E*N) ----
+    npc = scene.npc
+    if N > 0:
+        nc = state.npcs
+        ns_n = len(npc.sph_tags)
+
+        def nflat(x):
+            return x.reshape((E * N,) + x.shape[2:])
+
+        nRw_f, npw_f, nvw_f, nsx_f, nsv_f = soa.fk_full(
+            npc, nflat(nc.pos), nflat(nc.quat), nflat(nc.lin_vel),
+            nflat(nc.ang_vel), nflat(nc.q), nflat(nc.qd),
+        )
+        nRw = nRw_f.reshape(E, N, npc.nb, 3, 3)
+        npw = npw_f.reshape(E, N, npc.nb, 3)
+        nvw = nvw_f.reshape(E, N, npc.nb, 6)
+        nsph_x = nsx_f.reshape(E, N, ns_n, 3)
+        nsph_v = nsv_f.reshape(E, N, ns_n, 3)
+        nsph_r = jnp.asarray(npc.sph_radius, dtype=sph_x.dtype)
+
+    # ---- contact forces (vmapped over envs; same code path as substep) ----
+    def contact_one(sx, sv, boxes_e, sg_e, mu, *npc_args):
+        t = Terrain(
+            height=terrain.height, origin=terrain.origin, scale=terrain.scale,
+            boxes=boxes_e, static_geoms=sg_e,
+        )
+        flat_x = sx.reshape(A * ns, 3)
+        flat_v = sv.reshape(A * ns, 3)
+        flat_r = jnp.tile(sph_r, (A,))
+        force = _terrain_and_box_force(
+            flat_x, flat_v, flat_r, t, params, mu, False, scene.flat_height
+        )
+        npc_wrench = jnp.zeros((N, npc.nb, 6), dtype=sx.dtype) if N else None
+        nsph_f = None
+        if N > 0:
+            nRw_e, npw_e, nvw_e, nsx_e, nsv_e = npc_args
+            f_npc, npc_wrench = _npc_prim_force(
+                scene, flat_x, flat_v, flat_r, nRw_e, npw_e, nvw_e, params, mu
+            )
+            force = force + f_npc
+            nfx = nsx_e.reshape(N * ns_n, 3)
+            nfv = nsv_e.reshape(N * ns_n, 3)
+            nfr = jnp.tile(nsph_r, (N,))
+            nsph_f = _terrain_and_box_force(
+                nfx, nfv, nfr, t, params, mu, False, scene.flat_height
+            )
+            if N > 1:
+                ff = C.sphere_sphere(
+                    nfx[:, None, :], nfv[:, None, :], nfr[:, None],
+                    nfx[None, :, :], nfv[None, :, :], nfr[None, :], params, mu,
+                )
+                inst = jnp.repeat(jnp.arange(N), ns_n)
+                mask = (inst[:, None] != inst[None, :]).astype(ff.dtype)
+                nsph_f = nsph_f + (ff * mask[..., None]).sum(axis=1)
+            nsph_f = nsph_f.reshape(N, ns_n, 3)
+        if A > 1 and scene.self_collision:
+            ci = jnp.asarray(scene.coarse_sphere_indices())
+            cx = sx[:, ci].reshape(-1, 3)
+            cv = sv[:, ci].reshape(-1, 3)
+            cr = jnp.tile(sph_r[ci], (A,))
+            ff = C.sphere_sphere(
+                cx[:, None, :], cv[:, None, :], cr[:, None],
+                cx[None, :, :], cv[None, :, :], cr[None, :], params, mu,
+            )
+            inst = jnp.repeat(jnp.arange(A), ci.shape[0])
+            mask = (inst[:, None] != inst[None, :]).astype(ff.dtype)
+            fcoarse = (ff * mask[..., None]).sum(axis=1).reshape(A, ci.shape[0], 3)
+            force = force.reshape(A, ns, 3).at[:, ci].add(fcoarse).reshape(A * ns, 3)
+        return force.reshape(A, ns, 3), npc_wrench, nsph_f
+
+    npc_in = (nRw, npw, nvw, nsph_x, nsph_v) if N > 0 else ()
+    force, npc_wrench, nsph_f = jax.vmap(contact_one)(
+        sph_x, sph_v, terrain.boxes, terrain.static_geoms, dr.mu_scale, *npc_in
+    )
+
+    # ---- agent dynamics (SoA) ----
+    np_, nq_, nlv, nav, nql, nqdl = soa.step_actor(
+        robot,
+        flat(ag.pos), flat(ag.quat), flat(ag.lin_vel), flat(ag.ang_vel),
+        flat(ag.q), flat(ag.qd), flat(tau),
+        force.reshape(E * A, ns, 3), sph_x_f,
+        payload=dr.payload.reshape(E * A),
+        com_shift=dr.com_shift.reshape(E * A, 3),
+        dt=dt,
+    )
+
+    def unflat(x):
+        return x.reshape((E, A) + x.shape[1:])
+
+    new_agents = ActorState(
+        unflat(np_), unflat(nq_), unflat(nlv), unflat(nav), unflat(nql), unflat(nqdl)
+    )
+
+    # ---- NPC dynamics (SoA) ----
+    if N > 0:
+        def nunflat(x):
+            return x.reshape((E, N) + x.shape[1:])
+
+        npos, nquat, nlv2, nav2, nq2, nqd2 = soa.step_actor(
+            npc,
+            nflat(nc.pos), nflat(nc.quat), nflat(nc.lin_vel), nflat(nc.ang_vel),
+            nflat(nc.q), nflat(nc.qd), nflat(npc_tau),
+            nsph_f.reshape(E * N, ns_n, 3), nsx_f,
+            extra_wrench=npc_wrench.reshape(E * N, npc.nb, 6),
+            dt=dt,
+            root_free=scene.npc_root_free,
+        )
+        new_npcs = ActorState(
+            nunflat(npos), nunflat(nquat), nunflat(nlv2), nunflat(nav2),
+            nunflat(nq2), nunflat(nqd2),
+        )
+    else:
+        new_npcs = state.npcs
+        nsph_f = jnp.zeros((E, 0, 0, 3), dtype=sph_x.dtype)
+
+    fi = jnp.asarray(scene.foot_sphere_indices())
+    feet_force = force[:, :, fi]
     contacts = Contacts(sphere_force=force, npc_sphere_force=nsph_f, feet_force=feet_force)
     return PhysState(agents=new_agents, npcs=new_npcs), contacts

@@ -2,9 +2,9 @@
 
 Runs each (task, num_envs) config, measures aggregate env-steps/s (control
 steps x num_envs), and emits one JSON line per config plus a markdown table
-for BENCHLOG.md. `--pallas-ab` additionally re-runs each config with the
-fused Pallas sphere-vs-box contact kernel enabled (physics/scene.py:91) for
-an A/B on the same device.
+for BENCHLOG.md. `--soa-ab` additionally re-runs each config with the AoS
+(vmap(substep)) dynamics path for an A/B of the SoA lane-layout dynamics
+(physics/soa.py) on the same device.
 
 BASELINE.json configs covered:
   go1gate @ 512/2048/4096, go1seesaw @ 1024, go1sheep-hard @ 2048,
@@ -12,7 +12,7 @@ BASELINE.json configs covered:
 
 Usage:
   python tools/bench_matrix.py                 # full matrix
-  python tools/bench_matrix.py --pallas-ab     # + Pallas A/B columns
+  python tools/bench_matrix.py --soa-ab        # + AoS-dynamics A/B columns
   python tools/bench_matrix.py --configs go1gate:512 go1seesaw:1024
 """
 from __future__ import annotations
@@ -36,16 +36,16 @@ DEFAULT_CONFIGS = [
 ]
 
 
-def bench_one(task: str, num_envs: int, steps: int, use_pallas: bool, seed: int = 0):
+def bench_one(task: str, num_envs: int, steps: int, use_soa: bool, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
     from mqe_tpu.envs import make_mqe_env
 
     wrap, _ = make_mqe_env(task, num_envs=num_envs, seed=seed)
-    if use_pallas:
+    if not use_soa:
         env = wrap.env
-        env.scene = dataclasses.replace(env.scene, use_pallas=True)
+        env.scene = dataclasses.replace(env.scene, use_soa=False)
     key = jax.random.PRNGKey(0)
     ts, _ = wrap.reset(key)
     A = getattr(wrap, "controlled_agents", wrap.num_agents)
@@ -80,7 +80,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="*", default=DEFAULT_CONFIGS)
     p.add_argument("--steps", type=int, default=100)
-    p.add_argument("--pallas-ab", action="store_true")
+    p.add_argument("--soa-ab", action="store_true",
+                   help="also run the AoS (vmap(substep)) dynamics path for A/B")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -94,7 +95,7 @@ def main():
     for spec in args.configs:
         task, n = spec.rsplit(":", 1)
         n = int(n)
-        sps, compile_s = bench_one(task, n, args.steps, use_pallas=False)
+        sps, compile_s = bench_one(task, n, args.steps, use_soa=True)
         row = {
             "task": task,
             "num_envs": n,
@@ -103,22 +104,22 @@ def main():
             "per_env_hz": round(sps / n, 1),
             "compile_s": round(compile_s, 1),
         }
-        if args.pallas_ab:
-            sps_p, _ = bench_one(task, n, args.steps, use_pallas=True)
-            row["env_steps_per_s_pallas"] = round(sps_p, 1)
-            row["pallas_speedup"] = round(sps_p / sps, 3)
+        if args.soa_ab:
+            sps_p, _ = bench_one(task, n, args.steps, use_soa=False)
+            row["env_steps_per_s_aos"] = round(sps_p, 1)
+            row["soa_speedup"] = round(sps / sps_p, 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     # markdown table for BENCHLOG.md
     print("\n| task | envs | env-steps/s | per-env Hz | compile s |"
-          + (" pallas steps/s | speedup |" if args.pallas_ab else ""))
-    print("|---|---|---|---|---|" + ("---|---|" if args.pallas_ab else ""))
+          + (" AoS steps/s | SoA speedup |" if args.soa_ab else ""))
+    print("|---|---|---|---|---|" + ("---|---|" if args.soa_ab else ""))
     for r in rows:
         line = (f"| {r['task']} | {r['num_envs']} | {r['env_steps_per_s']:,.0f} "
                 f"| {r['per_env_hz']:.0f} | {r['compile_s']:.0f} |")
-        if args.pallas_ab:
-            line += f" {r['env_steps_per_s_pallas']:,.0f} | {r['pallas_speedup']:.2f}x |"
+        if args.soa_ab:
+            line += f" {r['env_steps_per_s_aos']:,.0f} | {r['soa_speedup']:.2f}x |"
         print(line)
 
 

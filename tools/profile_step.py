@@ -4,7 +4,11 @@ Times (per control step, batch E): locomotion NN, torque path, one physics
 decimation substep, termination+reset, observations, and the full step.
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
