@@ -73,6 +73,9 @@ def main():
                 "value": round(steps_per_s, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(steps_per_s / baseline, 3),
+                # vs_baseline denominator is OUR estimate, not a published
+                # reference number (the reference publishes none):
+                "baseline_def": "est_isaac_gym_single_gpu_25k_env_steps_per_s",
             }
         )
     )

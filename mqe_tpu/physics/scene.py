@@ -180,15 +180,11 @@ def _spatial_inertias(model: BodyModel, payload, com_shift, dtype=jnp.float32):
 
 
 def _terrain_and_box_force(
-    pos, vel, radius, terrain: Terrain, params, mu_scale, use_pallas=False,
-    flat_height=None,
+    pos, vel, radius, terrain: Terrain, params, mu_scale, flat_height=None,
 ):
     """Force on spheres from heightfield + env wall boxes + static geoms.
 
-    pos/vel: (ns,3); radius: (ns,). Returns (ns,3). (use_pallas is a vestigial
-    arg kept for call-site compatibility: the hand Pallas contact kernel
-    benchmarked 0.4-0.5x vs this XLA pipeline on the real chip and was
-    removed - BENCHLOG.md round 2.)
+    pos/vel: (ns,3); radius: (ns,). Returns (ns,3).
     """
     if flat_height is not None:
         f = C.sphere_plane(pos, vel, radius, flat_height, params, mu_scale)
@@ -339,7 +335,7 @@ def substep(
     flat_v = sph_v.reshape(A * ns, 3)
     flat_r = jnp.tile(sph_r, (A,))
     force = _terrain_and_box_force(
-        flat_x, flat_v, flat_r, terrain, params, dr.mu_scale, False,
+        flat_x, flat_v, flat_r, terrain, params, dr.mu_scale,
         scene.flat_height,
     )
 
@@ -355,7 +351,7 @@ def substep(
         nflat_v = nsph_v.reshape(N * len(npc.sph_tags), 3)
         nflat_r = jnp.tile(nsph_r, (N,))
         npc_force_sph = _terrain_and_box_force(
-            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale, False,
+            nflat_x, nflat_v, nflat_r, terrain, params, dr.mu_scale,
             scene.flat_height,
         )
         # NPC-NPC sphere pairs (sheep flock bumping)
@@ -517,7 +513,7 @@ def substep_batch(
         flat_v = sv.reshape(A * ns, 3)
         flat_r = jnp.tile(sph_r, (A,))
         force = _terrain_and_box_force(
-            flat_x, flat_v, flat_r, t, params, mu, False, scene.flat_height
+            flat_x, flat_v, flat_r, t, params, mu, scene.flat_height
         )
         npc_wrench = jnp.zeros((N, npc.nb, 6), dtype=sx.dtype) if N else None
         nsph_f = None
@@ -531,7 +527,7 @@ def substep_batch(
             nfv = nsv_e.reshape(N * ns_n, 3)
             nfr = jnp.tile(nsph_r, (N,))
             nsph_f = _terrain_and_box_force(
-                nfx, nfv, nfr, t, params, mu, False, scene.flat_height
+                nfx, nfv, nfr, t, params, mu, scene.flat_height
             )
             if N > 1:
                 ff = C.sphere_sphere(

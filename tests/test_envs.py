@@ -98,9 +98,6 @@ def test_gate_commands_move_robot(gate):
     assert (x1 - x0).mean() > 0.2, (x0, x1)
 
 
-if __name__ == "__main__":
-    pytest.main([__file__, "-x", "-q"])
-
 
 def test_terrain_curriculum_levels_progress():
     """Runtime terrain curriculum (ref _update_terrain_curriculum
@@ -183,3 +180,7 @@ def test_action_clip_modes():
     np.testing.assert_allclose(np.asarray(state2.commands), 0.1, atol=1e-6)
     state3, *_ = env.step(state2, big, jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.asarray(state3.commands), 0.2, atol=1e-6)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
