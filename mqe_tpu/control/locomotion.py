@@ -142,13 +142,30 @@ class TrotController:
         self.default_q = np.asarray(default_q) if default_q is not None else None
 
     K_RAIBERT = 0.03      # landing-point feedback gain [s]
-    K_SWEEP = 1.5         # stance-sweep velocity-error boost
+    K_SWEEP = 1.5         # stance-sweep velocity-error boost (proportional)
+    K_INT = 1.5           # stance-sweep integral gain [1/s] on the velocity-
+                          # error integrator (kills the steady-state tracking
+                          # deficit of the open-loop treadmill sweep; the
+                          # reference's learned policy closes this loop
+                          # implicitly, ref go1.py:389-409)
+    INT_CLAMP = 0.25       # anti-windup clamp on the integrator [m] / [rad]
+    PHASE_LEAD = 0.0      # foot-target phase lead [gait cycles]: compensates
+                          # the actuator-path lag (~60-75 deg at 3-4 Hz) by
+                          # commanding the trajectory early
+    K_HEIGHT = 0.0        # stance-height feedback: extend legs by K_HEIGHT x
+                          # the measured body sag (PD under gravity load sags
+                          # ~4 cm, which delays liftoff / advances touchdown
+                          # and makes swing targets drag grounded feet)
+    SWING_XY_DELAY = 0.0  # fraction of swing phase before the foot starts
+                          # its horizontal travel (vertical-only first: clear
+                          # the ground before moving forward, else the still-
+                          # grounded foot brakes the body)
     TRIM_X = 0.0          # fore-aft neutral-stance trim [m]
     # supplementary joint PD used by the trot backend on top of the actuator
     # net (the heuristic substitute for the missing learned body policy may
     # use any torque within limits; the RL policy backend uses the bare
     # actuator-net path for reference parity)
-    TAU_KP = 15.0
+    TAU_KP = 20.0
     TAU_KD = 0.8
 
     def __call__(
@@ -160,6 +177,8 @@ class TrotController:
         pitch=None,
         v_meas=None,
         w_meas=None,
+        v_int=None,
+        z_meas=None,
     ):
         """commands: (..., 3) = (vx, vy, yaw_rate) [m/s, rad/s]
         foot_idx_legs: (..., 4) remapped gait index per LEG (FR,FL,RR,RL),
@@ -169,6 +188,11 @@ class TrotController:
         v_meas: (..., 2) measured base xy velocity in body-yaw frame; w_meas:
         (...,) measured yaw rate — drive Raibert landing-point feedback and
         no-slip stance sweep. Defaults to the commands (open loop).
+        v_int: (..., 3) accumulated velocity-error integral (vx, vy, wz),
+        maintained by the caller (EnvState.vel_int); adds K_INT * v_int to
+        the sweep velocities.
+        z_meas: (...,) measured base height above local ground — drives the
+        stance-height (anti-sag) feedback. None disables it.
         Returns locomotion action (..., 12) (position-target offsets divided
         by action scales, i.e. same units the RL body policy would output).
         """
@@ -206,10 +230,14 @@ class TrotController:
         vsx = vx + kv * jnp.clip(vx - vmx, -0.5, 0.5)
         vsy = vy + kv * jnp.clip(vy - vmy, -0.5, 0.5)
         wsz = wz + kv * jnp.clip(wz - wm, -0.8, 0.8)
+        if v_int is not None:
+            vsx = vsx + self.K_INT * v_int[..., 0]
+            vsy = vsy + self.K_INT * v_int[..., 1]
+            wsz = wsz + self.K_INT * v_int[..., 2]
         vfx = vsx[..., None] - wsz[..., None] * neutral_y
         vfy = vsy[..., None] + wsz[..., None] * neutral_x
 
-        idx = foot_idx_legs
+        idx = jnp.remainder(foot_idx_legs + self.PHASE_LEAD, 1.0)
         in_stance = idx < 0.5
         ph_st = jnp.clip(idx / 0.5, 0.0, 1.0)
         ph_sw = jnp.clip((idx - 0.5) / 0.5, 0.0, 1.0)
@@ -224,9 +252,11 @@ class TrotController:
 
         dx_st = land_x - ph_st * T_stance[..., None] * vfx
         dy_st = land_y - ph_st * T_stance[..., None] * vfy
-        # horizontal swing completes by 70% phase so an early touchdown (body
-        # sag) doesn't brake the body with a forward-moving foot
-        ph_xy = jnp.minimum(ph_sw / 0.7, 1.0)
+        # horizontal swing runs in [SWING_XY_DELAY, 0.7] of the swing phase:
+        # lift vertically first (a still-grounded foot moving forward brakes
+        # the body), land with the foot already stationary
+        d0 = self.SWING_XY_DELAY
+        ph_xy = jnp.clip((ph_sw - d0) / (0.7 - d0), 0.0, 1.0)
         sw_prof = 0.5 * (1.0 - jnp.cos(jnp.pi * ph_xy))  # 0 -> 1 smooth
         dx_sw = lift_x + sw_prof * (land_x - lift_x)
         dy_sw = lift_y + sw_prof * (land_y - lift_y)
@@ -238,6 +268,11 @@ class TrotController:
         foot_x = neutral_x + dx
         foot_y = neutral_y + dy
         foot_z = -h_body[..., None] + z_lift
+        if z_meas is not None:
+            # anti-sag: extend legs by the measured height deficit so the
+            # effective stance height matches h_body despite PD compliance
+            sag = jnp.clip(h_body - z_meas, -0.05, 0.08)
+            foot_z = foot_z - self.K_HEIGHT * sag[..., None]
 
         # attitude leveling: extend legs on the dropped side so stance feet
         # push the body back to level (nose-down pitch>0 -> extend front legs)

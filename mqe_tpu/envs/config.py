@@ -150,7 +150,11 @@ class Go1Cfg:
             lin_vel_y = 0.0
             ang_vel = 0.0
             body_height = 0.0
-            gait_freq = 3.0
+            # reference default is 3.0 Hz (ref go1_config.py:141-155); 4.0
+            # measured better-tracking/stable on the trot backend across the
+            # command grid (tools/sweep_trot.py, BENCHLOG round 3) and is an
+            # in-range walk-these-ways frequency command
+            gait_freq = 4.0
             gait = "trotting"
             footswing_height = 0.08
             body_pitch = 0.0

@@ -71,8 +71,8 @@ class EnvState:
     lag_buffer: jnp.ndarray        # (E, A, L+1, 12) action lag DR (L=0 -> off)
     dr: S.DomainRand               # batched (E, ...)
     commands: jnp.ndarray          # (E, A, 3) current commands (set each step)
+    vel_int: jnp.ndarray           # (E, A, 3) velocity-error integrator (trot)
     push_timer: jnp.ndarray        # (E,) int32
-    steps_since_reset: jnp.ndarray  # alias of episode_length? kept distinct
     done: jnp.ndarray              # (E,) bool last-step termination
     terrain_levels: jnp.ndarray    # (E,) int32 curriculum row (static if off)
     collide: jnp.ndarray           # (E,) bool termination-contact flag
@@ -166,6 +166,12 @@ class Go1Env:
             k: v[rows, cols] for k, v in self.build.env_info.items()
         }
         self.env_info = {k: jnp.asarray(v) for k, v in self.env_info_np.items()}
+        if self.curriculum:
+            # full (R, C) oracle grid so env_info follows terrain_levels at
+            # runtime (fixes the frozen construction-row oracle, VERDICT r2 #7)
+            self.grid_env_info = {
+                k: jnp.asarray(v) for k, v in self.build.env_info.items()
+            }
         self.hf = jnp.asarray(self.build.height)
         self.hf_origin = jnp.asarray(self.build.origin)
         self.hf_scale = jnp.asarray(self.build.scale, dtype=jnp.float32)
@@ -467,8 +473,8 @@ class Go1Env:
             lag_buffer=jnp.zeros((E, A, self.lag_len + 1 if self.lag_len else 0, 12)),
             dr=dr,
             commands=jnp.zeros((E, A, 3)),
+            vel_int=jnp.zeros((E, A, 3)),
             push_timer=jnp.zeros(E, dtype=jnp.int32),
-            steps_since_reset=jnp.zeros(E, dtype=jnp.int32),
             done=jnp.zeros(E, dtype=bool),
             terrain_levels=levels,
             collide=jnp.zeros(E, dtype=bool),
@@ -484,11 +490,16 @@ class Go1Env:
         cfg = self.cfg
         gp = self.gait_params_static
         E, A = self.num_envs, self.num_agents
+
+        def bc(v):
+            # gait params accept scalars (all tasks) or per-env (E, A)/(E, 1)
+            # arrays (gait-frequency command space, gain sweeps)
+            return jnp.broadcast_to(jnp.asarray(v, dtype=jnp.float32), (E, A))
+
         gait_idx, idx, clock, dbl, half = step_gait_clocks(
             state.gait_indices, self.dt,
-            jnp.asarray(gp["freq"]), jnp.asarray(gp["phases"]),
-            jnp.asarray(gp["offsets"]), jnp.asarray(gp["bounds"]),
-            jnp.asarray(gp["duration"]),
+            bc(gp["freq"]), bc(gp["phases"]), bc(gp["offsets"]),
+            bc(gp["bounds"]), bc(gp["duration"]),
         )
         idx_legs = idx[..., jnp.asarray(CLOCK_TO_LEG)]
 
@@ -498,18 +509,38 @@ class Go1Env:
         v_yaw = quat_ops.quat_rotate_inverse(yawq, ag.lin_vel)
 
         gait_arr = dict(
-            freq=jnp.full((E, A), gp["freq"]),
-            duration=jnp.full((E, A), gp["duration"]),
-            swing_height=jnp.full((E, A), gp["swing_height"]),
-            stance_width=jnp.full((E, A), gp["stance_width"]),
-            stance_length=jnp.full((E, A), gp["stance_length"]),
-            body_height_delta=jnp.full((E, A), gp["body_height_delta"]),
+            freq=bc(gp["freq"]),
+            duration=bc(gp["duration"]),
+            swing_height=bc(gp["swing_height"]),
+            stance_width=bc(gp["stance_width"]),
+            stance_length=bc(gp["stance_length"]),
+            body_height_delta=bc(gp["body_height_delta"]),
         )
         loco_obs, loco_hist = self._fill_locomotion_obs(state, commands, clock)
+        vel_int = state.vel_int
         if self.backend in ("trot", "residual") or self.body_policy_params is None:
+            # velocity-error integrator (anti-windup clamped): closes the
+            # steady-state tracking deficit of the open-loop treadmill sweep
+            verr = jnp.stack(
+                [
+                    commands[..., 0] - v_yaw[..., 0],
+                    commands[..., 1] - v_yaw[..., 1],
+                    commands[..., 2] - ag.ang_vel[..., 2],
+                ],
+                axis=-1,
+            )
+            cl = self.trot.INT_CLAMP
+            vel_int = jnp.clip(state.vel_int + self.dt * verr, -cl, cl)
+            # base height above local ground drives the anti-sag feedback;
+            # all 13 predefined tasks have flat ground (flat_height fast path)
+            z_meas = (
+                ag.pos[..., 2] - self.scene.flat_height
+                if self.scene.flat_height is not None else None
+            )
             action = self.trot(
                 commands, idx_legs, gait_arr, roll=r, pitch=p,
                 v_meas=v_yaw[..., :2], w_meas=ag.ang_vel[..., 2],
+                v_int=vel_int, z_meas=z_meas,
             )
             if self.backend == "residual" and callable(self.body_policy_params):
                 # trained residual: model-based trot + learned correction
@@ -526,7 +557,7 @@ class Go1Env:
             action = mlp_apply(self.body_policy_params, jnp.concatenate([loco_hist, latent], -1))
         clip_a = cfg.normalization.clip_actions
         action = jnp.clip(action, -clip_a, clip_a)
-        return action, gait_idx, clock, loco_obs, loco_hist
+        return action, gait_idx, clock, loco_obs, loco_hist, vel_int
 
     def _fill_locomotion_obs(self, state: EnvState, commands, clock):
         """Build the 70-dim walk-these-ways obs + roll history
@@ -706,7 +737,11 @@ class Go1Env:
             clock_inputs=state.clock_inputs,
             last_action=state.last_loco_action,
             last_last_action=state.last2_loco_action,
-            env_info=self.env_info,
+            env_info=(
+                {k: v[state.terrain_levels, self.env_cols_j]
+                 for k, v in self.grid_env_info.items()}
+                if self.curriculum else self.env_info
+            ),
             depth_image=depth_img,
             rgb_image=rgb_img,
         )
@@ -740,7 +775,10 @@ class Go1Env:
             [cent, rad[..., None], jnp.ones((E, A + N, 1))], axis=-1
         )                                                          # (E, M, 5)
 
-        boxes = self.env_boxes                                     # (E, B, 7)
+        boxes = (
+            self.grid_boxes[state.terrain_levels, self.env_cols_j]
+            if self.curriculum else self.env_boxes
+        )                                                          # (E, B, 7)
         sg = self.static_geoms
         if self.n_static:
             sg_boxes = jnp.concatenate(
@@ -854,13 +892,16 @@ class Go1Env:
         # (ref go1.py:38: torch.clip(action, -1, 1) after wrapper scaling)
         commands = jnp.clip(commands, -1.0, 1.0)
 
-        action, gait_idx, clock, loco_obs, loco_hist = self._locomotion_action(state, commands)
+        action, gait_idx, clock, loco_obs, loco_hist, vel_int = (
+            self._locomotion_action(state, commands)
+        )
         state = state.replace(
             gait_indices=gait_idx, clock_inputs=clock,
             loco_obs=loco_obs, loco_hist=loco_hist,
             last2_loco_action=state.last_loco_action,
             last_loco_action=action,
             commands=commands,
+            vel_int=vel_int,
         )
 
         # decimation loop (scanned: keeps the compiled graph 4x smaller)

@@ -93,6 +93,12 @@ TRAIN_SCALES = dict(
     feet_contact_forces=-0.001,
 )
 TRACKING_SIGMA = 0.25
+# reference _reward_feet_air_time rewards (air_time - 0.5 s) on touchdown
+# (legged_robot.py:1129-1138) — tuned for legged-gym's ~1.5 Hz learned gaits.
+# Our gait is clocked at 4 Hz (swing 0.125 s), so 0.5 s is unattainable and
+# the term would penalize EVERY step; threshold just above the nominal swing
+# keeps its purpose (discourage shuffling) without fighting the clock.
+AIR_TIME_TARGET = 0.11
 SOFT_DOF_POS_LIMIT = 0.95   # ref rewards.soft_dof_pos_limit semantics (:178)
 SOFT_DOF_VEL_LIMIT = 1.0
 SOFT_TORQUE_LIMIT = 1.0
@@ -207,9 +213,10 @@ class LocomotionEnv:
         if self.residual:
             # model-based trot base + learned residual correction (the same
             # composition Go1Env._locomotion_action applies at deployment)
-            trot_action, gait_idx, clock, _, _ = env._locomotion_action(
+            trot_action, gait_idx, clock, _, _, vel_int = env._locomotion_action(
                 es, ts.commands[:, None, :]
             )
+            es = es.replace(vel_int=vel_int)
             action = trot_action[:, 0] + action
         else:
             # gait clocks advance (trot timing for clock obs)
@@ -335,7 +342,7 @@ class LocomotionEnv:
                 jnp.linalg.norm(feet_f, axis=-1) - MAX_CONTACT_FORCE, 0.0
             ).sum(-1)
         if "feet_air_time" in s:
-            air_rew = ((feet_air - 0.5) * first_contact).sum(-1)
+            air_rew = ((feet_air - AIR_TIME_TARGET) * first_contact).sum(-1)
             terms["feet_air_time"] = air_rew * (
                 jnp.linalg.norm(cmd[:, :2], axis=-1) > 0.1
             )

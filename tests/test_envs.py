@@ -95,7 +95,11 @@ def test_gate_commands_move_robot(gate):
         key, k = jax.random.split(key)
         ts, obs, rew, done, info = wrap.step(ts, acts, k)
     x1 = np.asarray(ts.env.phys.agents.pos[..., 0])
-    assert (x1 - x0).mean() > 0.2, (x0, x1)
+    # 1.5 s under a full-forward command: require near-command-speed progress
+    # (was 0.2 m — a bar that masked the r1/r2 tracking deficit, VERDICT r2
+    # weak #5; 0.5 leaves margin for gate-wall contact, the strict per-axis
+    # bars live in tests/test_tracking.py)
+    assert (x1 - x0).mean() > 0.5, (x0, x1)
 
 
 

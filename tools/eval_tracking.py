@@ -54,10 +54,20 @@ def evaluate(seconds=4.0, settle=1.0, backend=None, seed=0, policy=None):
 
     grid = command_grid()
     E = len(grid)
-    wrap, _ = make_mqe_env("go1plane", num_envs=E, seed=seed)
+
+    def custom_cfg(cfg):
+        # backend must be set BEFORE construction: __init__ derives
+        # hist_len / adaptation module / loco_hist sizing from it
+        if backend is not None:
+            class Cfg(cfg):
+                class control(cfg.control):
+                    locomotion_backend = backend
+            return Cfg
+        return cfg
+
+    wrap, _ = make_mqe_env("go1plane", num_envs=E, seed=seed,
+                           custom_cfg=custom_cfg)
     env = wrap.env
-    if backend is not None:
-        env.backend = backend
     if policy is not None:
         from mqe_tpu.control.nets import load_body_policy
 

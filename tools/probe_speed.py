@@ -26,6 +26,9 @@ def main():
     p.add_argument("--cmds", type=float, nargs="*", default=[1.0, 1.5, 2.0])
     p.add_argument("--policy", default=None)
     p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--kp", type=float, default=None, help="override trot TAU_KP")
+    p.add_argument("--kd", type=float, default=None, help="override trot TAU_KD")
+    p.add_argument("--ksweep", type=float, default=None, help="override trot K_SWEEP")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -44,7 +47,13 @@ def main():
     env = envw.env
     if args.freq is not None:
         env.gait_params_static["freq"] = args.freq
-        envw._step_jit = jax.jit(envw._step_impl)  # re-trace with new constant
+    if args.kp is not None:
+        env.trot.TAU_KP = args.kp
+    if args.kd is not None:
+        env.trot.TAU_KD = args.kd
+    if args.ksweep is not None:
+        env.trot.K_SWEEP = args.ksweep
+    envw._step_jit = jax.jit(envw._step_impl)  # re-trace with new constants
     policy = None
     if args.policy:
         from mqe_tpu.control.nets import load_body_policy
@@ -77,6 +86,9 @@ def main():
     vx = np.asarray(roll(ts, jax.random.PRNGKey(1)))
     out = {
         "freq": args.freq,
+        "kp": args.kp,
+        "kd": args.kd,
+        "ksweep": args.ksweep,
         "policy": bool(policy),
         "results": [
             {"cmd": c, "vx": round(float(vx[settle:, i].mean()), 3)}
