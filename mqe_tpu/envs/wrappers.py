@@ -44,9 +44,19 @@ def _scales(cfg):
 
 
 class TaskWrapper:
-    """Base wrapper; subclasses override obs_dim, _extra_init, _obs, _reward."""
+    """Base wrapper; subclasses override obs_dim, _extra_init, _obs, _reward.
+
+    Subclasses with a task-success notion set `has_success = True` and
+    implement `_success(state, obs, extra) -> (E,) bool` (the condition
+    holding THIS step). The base step carries a per-episode ever-succeeded
+    flag in extra["ep_success"] (reset with the episode) and reports it in
+    info["ep_success"] so trainers/evaluators can log per-episode success
+    rates — the reference has no such metric (its docs curves plot reward;
+    docs/index.html), so this is the quantitative bridge to them.
+    """
 
     action_dim = 3
+    has_success = False
 
     def __init__(self, env: Go1Env):
         self.env = env
@@ -74,6 +84,10 @@ class TaskWrapper:
         """Returns (reward (E, A), new_extra, terms dict of (E,) sums)."""
         E = self.num_envs
         return jnp.zeros((E, self.num_agents)), extra, {}
+
+    def _success(self, state: EnvState, obs: ObsBuf, extra: dict):
+        """(E,) bool: task-success condition holds this step (see class doc)."""
+        raise NotImplementedError
 
     # ---- shared helpers ----
     def _ids(self):
@@ -103,6 +117,8 @@ class TaskWrapper:
         state = self.env._reset_all(key)
         obs_buf = self.env._observations(state)
         extra = self._extra_init(state, obs_buf)
+        if self.has_success:
+            extra = {**extra, "ep_success": jnp.zeros((self.num_envs,), bool)}
         ts = TaskState(env=state, extra=extra)
         return ts, self._obs(state, obs_buf, extra)
 
@@ -117,6 +133,18 @@ class TaskWrapper:
         # diff-based rewards must reinitialize across resets: refresh extras
         # for reset envs (reference zeroes via env.reset_ids indexing)
         fresh_extra = self._extra_init(state, obs_buf)
+        if self.has_success:
+            # success may have been achieved on any earlier step of the
+            # episode; carry the ever-flag and report it at done so episode
+            # success rates can be accumulated device-side
+            ever = ts.extra["ep_success"] | self._success(state, obs_buf, ts.extra)
+            info = dict(info)
+            info["ep_success"] = ever
+            extra = {**extra, "ep_success": ever}
+            fresh_extra = {
+                **fresh_extra,
+                "ep_success": jnp.zeros((self.num_envs,), bool),
+            }
         mask = info["reset_mask"]
 
         def sel(new, old):
@@ -162,9 +190,15 @@ class Go1GateWrapper(TaskWrapper):
     """Cooperative gate passage; rewards per the reference's commented spec
     (ref go1_gate_wrapper.py:84-154)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 14 + self.num_agents
+
+    def _success(self, state, obs, extra):
+        # all agents through the gate (same threshold as the success term)
+        return (obs.base_pos[..., 0] > extra["gate"][:, 0:1] + 0.25).all(axis=1)
 
     def _gate(self, obs):
         return self._gate_pos(obs, self.bt["init"]["block_length"] + self.bt["gate"]["block_length"] / 2)
@@ -231,9 +265,15 @@ class Go1GateWrapper(TaskWrapper):
 class Go1PushboxWrapper(TaskWrapper):
     """(ref go1_pushbox_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 20 + self.num_agents
+
+    def _success(self, state, obs, extra):
+        # box pushed through the gate
+        return self._box_pos(state)[:, 0] > extra["gate"][:, 0] + 0.25
 
     def _gate(self, obs):
         return self._gate_pos(obs, self.bt["init"]["block_length"] + self.bt["gate"]["block_length"] / 2)
@@ -267,9 +307,16 @@ class Go1PushboxWrapper(TaskWrapper):
 class Go1SheepWrapper(TaskWrapper):
     """(ref go1_sheep_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 14 + 2 * self.num_npcs + self.num_agents
+
+    def _success(self, state, obs, extra):
+        # whole flock herded through the gate
+        sheep_x = self._sheep_pos(state)[..., 0]
+        return (sheep_x > extra["gate"][:, 0:1]).all(axis=1)
 
     def _gate(self, obs):
         return self._gate_pos(
@@ -336,9 +383,17 @@ class Go1SheepWrapper(TaskWrapper):
 class Go1SeesawWrapper(TaskWrapper):
     """(ref go1_seesaw_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 12 + self.num_agents
+
+    def _success(self, state, obs, extra):
+        # an agent reached the elevated far platform (success-term condition)
+        x = obs.base_pos[..., 0]
+        z = obs.base_pos[..., 2]
+        return ((x > 7.7) & (z > 1.3)).any(axis=1)
 
     def _extra_init(self, state, obs):
         return {"last_x": obs.base_pos[..., 0]}
@@ -397,10 +452,15 @@ class Go1FootballDefenderWrapper(TaskWrapper):
     Wrapper controls only the first two agents."""
 
     controlled_agents = 2
+    has_success = True
 
     @property
     def obs_dim(self):
         return 18 + 2
+
+    def _success(self, state, obs, extra):
+        # ball in the goal past the defender
+        return self._ball(state)[:, 0] > self._gate(state)[0]
 
     def _gate(self, state):
         gx = self.bt["init"]["block_length"] + self.bt["plane"]["block_length"]
@@ -443,9 +503,20 @@ class Go1FootballGameWrapper(TaskWrapper):
     obs, zero reward — ref go1_football_wrapper.py:93-157); implemented here
     for real: two teams, goal at each end, zero-sum goal reward."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 18 + self.num_agents
+
+    def _success(self, state, obs, extra):
+        # team 0 scored (ball past the right goal line)
+        gx_right = (
+            self.bt["init"]["block_length"]
+            + self.bt["gate"]["block_length"]
+            + self.bt["plane"]["block_length"]
+        )
+        return self._ball(state)[:, 0] > gx_right
 
     def _extra_init(self, state, obs):
         return {}
@@ -485,9 +556,15 @@ def _mirror_y(actions):
 class Go1TugWrapper(TaskWrapper):
     """(ref go1_tug_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 10
+
+    def _success(self, state, obs, extra):
+        # agent 0 pulled the disc to its side (q < 0)
+        return state.phys.npcs.q[:, 0, 0] < 0
 
     def _transform_actions(self, actions):
         return _mirror_y(actions)
@@ -556,9 +633,17 @@ class Go1TugWrapper(TaskWrapper):
 class Go1WrestlingWrapper(TaskWrapper):
     """(ref go1_wrestling_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 12
+
+    def _success(self, state, obs, extra):
+        # agent 0 toppled its opponent (success-term condition for agent 1)
+        r_ = quat_ops.wrap_to_pi(obs.base_rpy[:, 1, 0])
+        p_ = quat_ops.wrap_to_pi(obs.base_rpy[:, 1, 1])
+        return (jnp.abs(p_) > np.pi * 0.9) | (jnp.abs(r_) >= np.pi * 0.4)
 
     def _transform_actions(self, actions):
         return _mirror_y(actions)
@@ -595,9 +680,15 @@ class Go1WrestlingWrapper(TaskWrapper):
 class Go1RotationWrapper(TaskWrapper):
     """(ref go1_rotation_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 12
+
+    def _success(self, state, obs, extra):
+        # agent 0 through the revolving door past the target x
+        return obs.base_pos[:, 0, 0] > self._target_x()
 
     def _transform_actions(self, actions):
         return _mirror_y(actions)
@@ -645,9 +736,15 @@ class Go1RotationWrapper(TaskWrapper):
 class Go1BridgeWrapper(TaskWrapper):
     """(ref go1_bridge_wrapper.py)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 12
+
+    def _success(self, state, obs, extra):
+        # opponent knocked off the bridge (success-term condition)
+        return obs.base_pos[:, 1, 2] < 0.5
 
     def _transform_actions(self, actions):
         return _mirror_y(actions)
@@ -691,9 +788,16 @@ class Go1DoorWrapper(TaskWrapper):
     """Push-open door (task present but unregistered in the reference;
     simple pass-the-door shaping)."""
 
+    has_success = True
+
     @property
     def obs_dim(self):
         return 12 + self.num_agents + 2
+
+    def _success(self, state, obs, extra):
+        # all agents pushed through the doorway
+        gx = self.bt["init"]["block_length"] + self.bt["gate"]["block_length"] / 2
+        return (obs.base_pos[..., 0] > gx).all(axis=1)
 
     def _extra_init(self, state, obs):
         q = state.phys.npcs.q[:, 0, 0]

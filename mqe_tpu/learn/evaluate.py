@@ -67,6 +67,7 @@ def main(argv=None):
 
     ep_returns = np.zeros((args.num_envs,))
     finished_returns = []
+    finished_succ = []
     max_steps = args.episodes * wrap.env.max_episode_length
     for i in range(max_steps):
         key, k = jax.random.split(key)
@@ -80,14 +81,20 @@ def main(argv=None):
         if d.any():
             finished_returns.extend(ep_returns[d].tolist())
             ep_returns[d] = 0.0
+            if "ep_success" in info:  # per-episode task success flag
+                finished_succ.extend(np.asarray(info["ep_success"])[d].tolist())
         if renderer is not None and i % 2 == 0:
             frames.append(renderer.render(ts.env, env_idx=0))
         if len(finished_returns) >= args.episodes * args.num_envs:
             break
 
+    succ_str = (
+        f" success_rate={np.mean(finished_succ):.3f}" if finished_succ else ""
+    )
     print(
         f"episodes={len(finished_returns)} "
         f"mean_return={np.mean(finished_returns) if finished_returns else float(np.mean(ep_returns)):.3f}"
+        + succ_str
     )
     if renderer is not None and frames:
         renderer.save_gif(frames, args.video)

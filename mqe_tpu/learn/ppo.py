@@ -105,7 +105,10 @@ class PPOTrainer:
             update_count=jnp.zeros((), jnp.int32),
             ret_mean=jnp.zeros(()),
             ret_var=jnp.ones(()),
-            ep_acc=EpisodeAccumulator.create(self.E, self.term_names),
+            ep_acc=EpisodeAccumulator.create(
+                self.E, self.term_names,
+                track_success=getattr(self.w, "has_success", False),
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -128,7 +131,8 @@ class PPOTrainer:
                 env_state, self.w.rl_prescale(action), k_env
             )
             acc = acc.update(
-                reward[:, : self.A].mean(-1), done, info.get("reward_terms")
+                reward[:, : self.A].mean(-1), done, info.get("reward_terms"),
+                success=info.get("ep_success"),
             )
             if cfg.algo == "jrpo":
                 reward = reward.mean(axis=-1, keepdims=True).repeat(reward.shape[-1], -1)

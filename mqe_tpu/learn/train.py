@@ -44,6 +44,14 @@ def main(argv=None):
                    help="checkpoint path: full TrainState resume (params-only "
                         "checkpoints from eval exports also accepted)")
     p.add_argument("--profile-dir", default=None, help="capture a jax profiler trace here")
+    p.add_argument("--updates-per-call", type=int, default=1,
+                   help="lax.scan N PPO updates per device call (amortizes "
+                        "dispatch through remote-execution tunnels)")
+    p.add_argument("--split", action="store_true",
+                   help="rollout and SGD as two device programs (smaller "
+                        "graphs for remote-compile services)")
+    p.add_argument("--log-every", type=int, default=10,
+                   help="emit a log record every N update calls")
     args = p.parse_args(argv)
 
     import jax
@@ -124,6 +132,9 @@ def main(argv=None):
         resume_state=resume_state,
         checkpoint_path=ckpt_path,
         checkpoint_every=args.checkpoint_every,
+        updates_per_call=args.updates_per_call,
+        split=args.split,
+        log_every=args.log_every,
     )
     if args.profile_dir:
         from mqe_tpu.utils.metrics import profile_trace

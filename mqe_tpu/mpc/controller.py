@@ -35,9 +35,14 @@ class MPCState:
 
 def planner_state(env, state):
     """EnvState -> (E, A, 6) planner state in env-local coordinates:
-    (px, py, yaw, vx, vy, wz) with vx/vy in the yaw frame."""
+    (px, py, yaw, vx, vy, wz) with vx/vy in the yaw frame.
+
+    Origins follow state.terrain_levels when the runtime terrain curriculum
+    is on (env._origins_for gathers the level-correct rows; static otherwise).
+    """
     ag = state.phys.agents
-    pos = ag.pos - env.env_origins[:, None, :]
+    env_origins, _ = env._origins_for(state.terrain_levels)
+    pos = ag.pos - env_origins[:, None, :]
     yawq = quat_ops.yaw_quat(ag.quat)
     v = quat_ops.quat_rotate_inverse(yawq, ag.lin_vel)
     _, _, yaw = quat_ops.get_euler_xyz(ag.quat)
@@ -110,7 +115,15 @@ class CommandMPC:
         if self.task == "gate":
             bt = env.cfg.terrain.BarrierTrack_kwargs
             gate_x = bt["init"]["block_length"] + bt["gate"]["block_length"] / 2
-            dev = env.env_info["gate_deviation"]  # (E, 2)
+            # level-correct oracle rows under the runtime terrain curriculum
+            # (static env_info would go stale as terrain_levels move)
+            dev = (
+                env.grid_env_info["gate_deviation"][
+                    state.terrain_levels, env.env_cols_j
+                ]
+                if env.curriculum
+                else env.env_info["gate_deviation"]
+            )  # (E, 2)
             gate = jnp.stack([dev[:, 0] + gate_x, dev[:, 1]], axis=-1)
             goal_x = jnp.full(
                 (E,),
@@ -120,7 +133,8 @@ class CommandMPC:
             )
             return {"gate": gate, "goal_x": goal_x}
         if self.task == "pushbox":
-            box = state.phys.npcs.pos[:, 0, :2] - env.env_origins[:, :2]
+            env_origins, _ = env._origins_for(state.terrain_levels)
+            box = state.phys.npcs.pos[:, 0, :2] - env_origins[:, :2]
             push_dir = jnp.broadcast_to(jnp.array([1.0, 0.0]), (E, 2))
             return {"box": box, "push_dir": push_dir}
         # waypoint: 3 m straight ahead of each agent's current position

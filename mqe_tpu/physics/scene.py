@@ -92,6 +92,12 @@ class SceneModel:
     # the TPU lane axis. False falls back to vmap(substep) (AoS; used for A/B
     # and by single-env test harnesses).
     use_soa: bool = True
+    # fused Pallas substep kernel (physics/pallas_step.py) for the SoA
+    # dynamics: measured 4.7-7x over the XLA fusion pipeline on one
+    # v5-lite chip (BENCHLOG round 4). None = auto (on for TPU backends,
+    # off on CPU where interpret mode is orders of magnitude slower than
+    # XLA and tests/goldens pin the XLA path).
+    use_pallas: bool | None = None
     # ground height when the task heightfield is constant (all 13 predefined
     # tasks: ground is flat, obstacles are analytic boxes) -> analytic plane
     # contact, no bilinear gathers. None = sample the heightfield.
@@ -558,8 +564,19 @@ def substep_batch(
         sph_x, sph_v, terrain.boxes, terrain.static_geoms, dr.mu_scale, *npc_in
     )
 
-    # ---- agent dynamics (SoA) ----
-    np_, nq_, nlv, nav, nql, nqdl = soa.step_actor(
+    # ---- agent dynamics (SoA; fused Pallas kernel on TPU) ----
+    use_pallas = scene.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from mqe_tpu.physics.pallas_step import step_actor_pallas
+
+        def dyn_step(mdl, *a, **kw):
+            return step_actor_pallas(mdl, *a, tile_s=16, **kw)
+    else:
+        dyn_step = soa.step_actor
+
+    np_, nq_, nlv, nav, nql, nqdl = dyn_step(
         robot,
         flat(ag.pos), flat(ag.quat), flat(ag.lin_vel), flat(ag.ang_vel),
         flat(ag.q), flat(ag.qd), flat(tau),
@@ -581,7 +598,7 @@ def substep_batch(
         def nunflat(x):
             return x.reshape((E, N) + x.shape[1:])
 
-        npos, nquat, nlv2, nav2, nq2, nqd2 = soa.step_actor(
+        npos, nquat, nlv2, nav2, nq2, nqd2 = dyn_step(
             npc,
             nflat(nc.pos), nflat(nc.quat), nflat(nc.lin_vel), nflat(nc.ang_vel),
             nflat(nc.q), nflat(nc.qd), nflat(npc_tau),

@@ -586,48 +586,34 @@ def fk_full(model: BodyModel, pos, quat, lin_vel, ang_vel, q, qd):
     return Rw_a, pw_a, vw_a, sph_x, sph_v
 
 
-def step_actor(
+def step_entries(
     model: BodyModel,
-    pos, quat, lin_vel, ang_vel, q, qd,       # (..., k) state
-    tau,                                      # (..., nq)
-    sph_force, sph_x,                         # (..., ns, 3) world
-    payload=None, com_shift=None,             # (...,), (..., 3) trunk DR
-    extra_wrench=None,                        # (..., nb, 6) world (NPC coupling)
+    p3, q4, lv, av, ql, qdl,    # entry tuples (len 3/4/3/3/nq/nq)
+    taul,                        # entry tuple (nq,)
+    sph_xs, sph_fs,              # lists of per-sphere 3-entry tuples (world)
+    pay=None, cs=None,           # payload entry, com-shift 3-entry tuple
+    extra=None,                  # per-body [(w3, v3)] world wrenches or None
     dt=0.0025,
     root_free=None,
 ):
-    """One dynamics+integration step for a batch of one actor type.
-
-    Equivalent to scene.substep's dyn_one: contact/gravity wrenches -> ABA ->
-    semi-implicit Euler. Returns the six new state arrays.
-    """
-    p3 = _cols(pos)
-    q4 = _cols(quat)
-    lv = _cols(lin_vel)
-    av = _cols(ang_vel)
-    ql = _cols(q)
-    qdl = _cols(qd)
-    taul = _cols(tau)
-    pay = payload
-    cs = _cols(com_shift) if com_shift is not None else None
-
+    """Entry-level dynamics+integration core: contact/gravity wrenches ->
+    ABA -> semi-implicit Euler, all as elementwise ops on entries of ANY
+    broadcastable shape. Shared verbatim by the XLA path (step_actor) and
+    the fused Pallas kernel (physics/pallas_step.py), so the two paths
+    cannot drift apart numerically except for f32 reassociation.
+    Returns entry tuples (pos, quat, lin_vel, ang_vel, q, qd)."""
     Rw, pw, Rl, pl = _fk(model, p3, q4, ql)
     v, vw = _body_vels(model, Rw, Rl, pl, lv, av, qdl)
 
-    sph_xs = [tuple(sph_x[..., s, i] for i in range(3)) for s in range(sph_x.shape[-2])]
-    sph_fs = [tuple(sph_force[..., s, i] for i in range(3)) for s in range(sph_force.shape[-2])]
     wr = _contact_wrenches(model, pw, sph_xs, sph_fs)
     gw = _gravity_wrenches(model, Rw, pay, cs)
     f_ext = [
         (v_add(wr[i][0], gw[i][0]), v_add(wr[i][1], gw[i][1]))
         for i in range(model.nb)
     ]
-    if extra_wrench is not None:
+    if extra is not None:
         f_ext = [
-            (
-                v_add(f_ext[i][0], tuple(extra_wrench[..., i, k] for k in range(3))),
-                v_add(f_ext[i][1], tuple(extra_wrench[..., i, k] for k in range(3, 6))),
-            )
+            (v_add(f_ext[i][0], extra[i][0]), v_add(f_ext[i][1], extra[i][1]))
             for i in range(model.nb)
         ]
 
@@ -646,8 +632,47 @@ def step_actor(
         omega_dot_w = (zero, zero, zero)
         a_lin_w = (zero, zero, zero)
 
-    np_, nq_, nlv, nav, nql, nqdl = _integrate(
+    return _integrate(
         model, p3, q4, lv, av, ql, qdl, omega_dot_w, a_lin_w, qdd, dt
+    )
+
+
+def step_actor(
+    model: BodyModel,
+    pos, quat, lin_vel, ang_vel, q, qd,       # (..., k) state
+    tau,                                      # (..., nq)
+    sph_force, sph_x,                         # (..., ns, 3) world
+    payload=None, com_shift=None,             # (...,), (..., 3) trunk DR
+    extra_wrench=None,                        # (..., nb, 6) world (NPC coupling)
+    dt=0.0025,
+    root_free=None,
+):
+    """One dynamics+integration step for a batch of one actor type.
+
+    Equivalent to scene.substep's dyn_one: contact/gravity wrenches -> ABA ->
+    semi-implicit Euler. Returns the six new state arrays.
+    """
+    sph_xs = [tuple(sph_x[..., s, i] for i in range(3)) for s in range(sph_x.shape[-2])]
+    sph_fs = [tuple(sph_force[..., s, i] for i in range(3)) for s in range(sph_force.shape[-2])]
+    extra = None
+    if extra_wrench is not None:
+        extra = [
+            (
+                tuple(extra_wrench[..., i, k] for k in range(3)),
+                tuple(extra_wrench[..., i, k] for k in range(3, 6)),
+            )
+            for i in range(model.nb)
+        ]
+    np_, nq_, nlv, nav, nql, nqdl = step_entries(
+        model,
+        _cols(pos), _cols(quat), _cols(lin_vel), _cols(ang_vel),
+        _cols(q), _cols(qd), _cols(tau),
+        sph_xs, sph_fs,
+        pay=payload,
+        cs=_cols(com_shift) if com_shift is not None else None,
+        extra=extra,
+        dt=dt,
+        root_free=root_free,
     )
     empty = jnp.zeros(pos.shape[:-1] + (0,), dtype=pos.dtype)
     return (

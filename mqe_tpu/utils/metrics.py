@@ -36,9 +36,11 @@ class EpisodeAccumulator:
     done_return_sum: jnp.ndarray
     done_len_sum: jnp.ndarray
     done_term_sums: dict       # name -> () flushed sums of completed episodes
+    done_succ_sum: jnp.ndarray # () completed episodes that ever hit success
+    track_success: bool = struct.field(pytree_node=False, default=False)
 
     @staticmethod
-    def create(num_envs: int, term_names):
+    def create(num_envs: int, term_names, track_success: bool = False):
         # distinct buffers per leaf: aliased leaves break donate_argnums
         # ("attempt to donate the same buffer twice")
         z = lambda *s: jnp.zeros(s)
@@ -50,11 +52,15 @@ class EpisodeAccumulator:
             done_return_sum=z(),
             done_len_sum=z(),
             done_term_sums={k: z() for k in term_names},
+            done_succ_sum=z(),
+            track_success=track_success,
         )
 
-    def update(self, reward_env, done, term_values=None):
+    def update(self, reward_env, done, term_values=None, success=None):
         """reward_env: (E,) per-env reward this step; done: (E,) bool;
-        term_values: dict name -> scalar or (E,) per-step term values."""
+        term_values: dict name -> scalar or (E,) per-step term values;
+        success: (E,) bool — episode ever-succeeded flag as of this step
+        (wrapper info["ep_success"]); flushed at done into success_rate."""
         ep_return = self.ep_return + reward_env
         ep_len = self.ep_len + 1.0
         d = done.astype(jnp.float32)
@@ -65,6 +71,11 @@ class EpisodeAccumulator:
             done_return_sum=self.done_return_sum + (ep_return * d).sum(),
             done_len_sum=self.done_len_sum + (ep_len * d).sum(),
         )
+        if success is not None:
+            acc = acc.replace(
+                done_succ_sum=self.done_succ_sum
+                + (success.astype(jnp.float32) * d).sum()
+            )
         if term_values:
             sums = dict(self.term_sums)
             flushed = dict(self.done_term_sums)
@@ -84,6 +95,7 @@ class EpisodeAccumulator:
             done_return_sum=jnp.zeros(()),
             done_len_sum=jnp.zeros(()),
             done_term_sums={k: jnp.zeros(()) for k in self.done_term_sums},
+            done_succ_sum=jnp.zeros(()),
         )
 
     def summarize(self) -> dict:
@@ -96,6 +108,8 @@ class EpisodeAccumulator:
         }
         for k, v in self.done_term_sums.items():
             out[f"rew_{k}"] = float(v) / d
+        if self.track_success:
+            out["success_rate"] = float(self.done_succ_sum) / d
         return out
 
 

@@ -35,6 +35,13 @@ GRID = [
 SECONDS = 3.0
 SETTLE = 1.0
 
+# Bars carry slack below the TPU-measured numbers on purpose: tests run on
+# CPU (conftest pins jax_platforms=cpu) while eval_tracking measures on the
+# real chip, and f32 matmul/reassociation differences between the two
+# backends shift steady-state tracking by up to ~0.02 m/s in practice.
+# The slack absorbs that cross-platform variance plus seed noise; a genuine
+# regression (the 0.74-plateau class of bug) overshoots it by an order of
+# magnitude.
 V_AT_1MS_MIN = 0.80
 MEAN_ERR_VX_MAX = 0.10
 MEAN_ERR_VY_MAX = 0.08

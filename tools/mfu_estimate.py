@@ -96,8 +96,14 @@ def main():
             "mfu_vs_f32_peak": round(achieved_flops / PEAK_F32_FLOPS, 4),
             "achieved_hbm_gbs": round(achieved_bw / 1e9, 1),
             "hbm_bw_utilization": round(achieved_bw / PEAK_HBM_BPS, 3),
+            # below ~5% of both peaks the workload is dominated by kernel
+            # launch / fusion-boundary latency and the sequential dependency
+            # chain, not by either roofline ceiling
             "bound": (
-                "bandwidth" if achieved_bw / PEAK_HBM_BPS
+                "latency" if max(
+                    achieved_bw / PEAK_HBM_BPS, achieved_flops / PEAK_F32_FLOPS
+                ) < 0.05
+                else "bandwidth" if achieved_bw / PEAK_HBM_BPS
                 > achieved_flops / PEAK_F32_FLOPS else "compute"
             ),
         }

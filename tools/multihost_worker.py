@@ -33,10 +33,12 @@ def main():
     args = p.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={args.local_devices}"
-    )
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags
+            + f" --xla_force_host_platform_device_count={args.local_devices}"
+        ).strip()
     import jax
 
     # the environment's sitecustomize pins jax_platforms to the axon TPU

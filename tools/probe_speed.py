@@ -7,7 +7,7 @@ whether the 0.73/1.0 tracking plateau (tools/eval_tracking.py) is a
 controller limit (stride-rate bound) or a physics limit.
 
 Usage: python tools/probe_speed.py [--cpu] [--freq 3.0] [--cmds 1.0 1.5 2.0]
-       [--policy mqe_tpu/assets/body_policy_r2.npz]
+       [--policy mqe_tpu/assets/body_policy.npz]
 """
 from __future__ import annotations
 
