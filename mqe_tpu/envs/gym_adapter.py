@@ -48,7 +48,9 @@ class GymAdapter:
         done_b = np.broadcast_to(np.asarray(done)[:, None], np.asarray(rew).shape)
         host_info = {
             "time_outs": np.asarray(info["time_outs"]),
-            "reward_terms": {k: float(v) for k, v in info["reward_terms"].items()},
+            # batch totals, mirroring the reference's drained reward_buffer sums
+            "reward_terms": {k: float(np.asarray(v).sum())
+                             for k, v in info["reward_terms"].items()},
         }
         return np.asarray(obs), np.asarray(rew), done_b.copy(), host_info
 

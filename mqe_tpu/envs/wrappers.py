@@ -12,9 +12,10 @@ zeros (ref go1_gate_wrapper.py:68-69, 155) and the football game wrappers
 return None obs (go1_football_wrapper.py:136, 157) — here the commented spec
 is implemented for real (SURVEY.md §2.4 says treat the comments as the spec).
 
-Per-term reward sums are returned in info["reward_terms"] each step (device-
-side), replacing the reference's host-side reward_buffer accounting
-(go1_pushbox_wrapper.py:22-25; drained by mqe_openrl_wrapper.batch_rewards).
+Per-term, per-env reward sums ((E,) arrays) are returned in
+info["reward_terms"] each step (device-side), replacing the reference's
+host-side reward_buffer accounting (go1_pushbox_wrapper.py:22-25; drained by
+mqe_openrl_wrapper.batch_rewards).
 """
 from __future__ import annotations
 
@@ -41,6 +42,13 @@ def _scales(cfg):
         if not k.startswith("_"):
             out[k] = getattr(cfg.rewards.scales, k)
     return out
+
+
+def _perenv(x):
+    """(E,) per-env term value: sum over every non-env axis. Matches the
+    reference's per-env episode_sums accounting (legged_robot.py:669-677)
+    so EpisodeAccumulator's flushed means are true per-episode term means."""
+    return x.sum(axis=tuple(range(1, x.ndim))) if x.ndim > 1 else x
 
 
 class TaskWrapper:
@@ -241,23 +249,23 @@ class Go1GateWrapper(TaskWrapper):
             prog = jnp.where(info["reset_mask"][:, None], 0.0, prog)
             r = s["target_reward_scale"] * prog
             rew = rew + r
-            terms["target reward"] = r.sum()
+            terms["target reward"] = _perenv(r)
         if s.get("success_reward_scale", 0) != 0:
             gate_x = extra["gate"][:, 0:1]
             succ = (obs.base_pos[..., 0] > gate_x + 0.25).astype(jnp.float32)
             r = s["success_reward_scale"] * succ
             rew = rew + r
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("contact_punishment_scale", 0) != 0:
             r = s["contact_punishment_scale"] * state.collide.astype(jnp.float32)
             rew = rew + r[:, None]
-            terms["contact punishment"] = r.sum()
+            terms["contact punishment"] = _perenv(r)
         if s.get("agent_distance_punishment_scale", 0) != 0 and A > 1:
             other = jnp.flip(obs.base_pos[..., :2], axis=1)
             d2 = ((obs.base_pos[..., :2] - other) ** 2).sum(-1)
             pun = jnp.where(d2 < 0.25, s["agent_distance_punishment_scale"] / jnp.maximum(d2, 1e-3), 0.0)
             rew = rew + pun
-            terms["agent distance punishment"] = pun.sum()
+            terms["agent distance punishment"] = _perenv(pun)
         extra = {**extra, "last_dist": dist}
         return rew, extra, terms
 
@@ -301,7 +309,7 @@ class Go1PushboxWrapper(TaskWrapper):
         r = s.get("box_x_movement_reward_scale", 10) * dx
         rew = jnp.broadcast_to(r[:, None], (E, A))
         extra = {**extra, "last_box": box}
-        return rew, extra, {"box movement reward": r.sum()}
+        return rew, extra, {"box movement reward": _perenv(r)}
 
 
 class Go1SheepWrapper(TaskWrapper):
@@ -351,17 +359,17 @@ class Go1SheepWrapper(TaskWrapper):
             succ = (sheep[..., 0] > gate_x[:, None]).sum(axis=1).astype(jnp.float32)
             r = s["success_reward_scale"] * succ
             rew = rew + r[:, None]
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("contact_punishment_scale", 0) != 0:
             r = s["contact_punishment_scale"] * state.collide.astype(jnp.float32)
             rew = rew + r[:, None]
-            terms["contact punishment"] = r.sum()
+            terms["contact punishment"] = _perenv(r)
         if s.get("sheep_movement_reward_scale", 0) != 0:
             avg = sheep[..., 0].mean(axis=1)
             dx = jnp.where(info["reset_mask"], 0.0, avg - extra["last_avg"])
             r = s["sheep_movement_reward_scale"] * dx
             rew = rew + r[:, None]
-            terms["sheep movement reward"] = r.sum()
+            terms["sheep movement reward"] = _perenv(r)
             extra = {**extra, "last_avg": avg}
         if s.get("mixed_sheep_reward_scale", 0) != 0:
             d = jnp.linalg.norm(sheep[..., :2] - extra["gate"][:, None, :], axis=-1)
@@ -369,14 +377,14 @@ class Go1SheepWrapper(TaskWrapper):
             m = jnp.where(sheep[..., 0] >= gate_x[:, None], s["mixed_sheep_reward_scale"], m)
             r = m.sum(axis=1)
             rew = rew + r[:, None]
-            terms["mixed sheep reward"] = r.sum()
+            terms["mixed sheep reward"] = _perenv(r)
         var = state.phys.npcs.pos[..., :2].var(axis=1).sum(-1)
         lin = s.get("sheep_pos_var_lin_punishment_scale", 0)
         exp_ = s.get("sheep_pos_var_exp_punishment_scale", 0)
         if lin != 0 or exp_ != 0:
             r = lin * (var - 1) + exp_ * jnp.exp(var / 2 - 1)
             rew = rew + r[:, None]
-            terms["sheep pos var punishment"] = r.sum()
+            terms["sheep pos var punishment"] = _perenv(r)
         return jnp.broadcast_to(rew, (E, A)), extra, terms
 
 
@@ -414,36 +422,36 @@ class Go1SeesawWrapper(TaskWrapper):
             dx = jnp.where(info["reset_mask"], 0.0, dx)
             r = s["x_movement_reward_scale"] * dx
             rew = rew + r[:, None]
-            terms["x movement reward"] = r.sum()
+            terms["x movement reward"] = _perenv(r)
         extra = {**extra, "last_x": x}
         if s.get("height_reward_scale", 0) != 0:
             r = s["height_reward_scale"] * (z.sum(axis=1) - 0.56)
             rew = rew + r[:, None]
-            terms["height reward"] = r.sum()
+            terms["height reward"] = _perenv(r)
         if s.get("y_punishment_scale", 0) != 0:
             r = s["y_punishment_scale"] * ((obs.base_pos[..., 1] ** 2).sum(axis=1) - 0.5)
             rew = rew + r[:, None]
-            terms["y punishment"] = r.sum()
+            terms["y punishment"] = _perenv(r)
         if s.get("contact_punishment_scale", 0) != 0:
             r = s["contact_punishment_scale"] * state.collide.astype(jnp.float32)
             rew = rew + r[:, None]
-            terms["contact punishment"] = r.sum()
+            terms["contact punishment"] = _perenv(r)
         if s.get("agent_distance_punishment_scale", 0) != 0 and A > 1:
             other = jnp.flip(obs.base_pos[..., :2], axis=1)
             d2 = ((obs.base_pos[..., :2] - other) ** 2).sum(-1)[:, :1]
             pun = jnp.where(d2 < 0.25, s["agent_distance_punishment_scale"] / jnp.maximum(d2, 1e-3), 0.0)
             rew = rew + pun
-            terms["agent distance punishment"] = pun.sum()
+            terms["agent distance punishment"] = _perenv(pun)
         if s.get("success_reward_scale", 0) != 0:
             succ = ((x > 7.7) & (z > 1.3)).sum(axis=1).astype(jnp.float32)
             r = s["success_reward_scale"] * succ
             rew = rew + r[:, None]
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("fall_punishment_scale", 0) != 0:
             fall = (state.r_term | state.p_term).astype(jnp.float32)
             r = s["fall_punishment_scale"] * fall
             rew = rew + r[:, None]
-            terms["fall punishment"] = r.sum()
+            terms["fall punishment"] = _perenv(r)
         return jnp.broadcast_to(rew, (E, A)), extra, terms
 
 
@@ -489,12 +497,12 @@ class Go1FootballDefenderWrapper(TaskWrapper):
         if s.get("goal_reward_scale", 0) != 0:
             r = jnp.where(ball[:, 0] > gate[0], s["goal_reward_scale"], 0.0)
             rew = rew + r[:, None]
-            terms["goal reward"] = r.sum()
+            terms["goal reward"] = _perenv(r)
         if s.get("ball_gate_distance_reward_scale", 0) != 0:
             d = jnp.linalg.norm(ball[:, :2] - gate[None, :], axis=-1)
             r = s["ball_gate_distance_reward_scale"] * jnp.exp(-d / 3)
             rew = rew + r[:, None]
-            terms["ball gate distance reward"] = r.sum()
+            terms["ball gate distance reward"] = _perenv(r)
         return jnp.broadcast_to(rew, (E, 2)), extra, terms
 
 
@@ -544,7 +552,7 @@ class Go1FootballGameWrapper(TaskWrapper):
         team = jnp.asarray([0] * half + [1] * (A - half))
         r_team0 = scale * (goal_r - goal_l)
         rew = jnp.where(team[None, :] == 0, r_team0[:, None], -r_team0[:, None])
-        return rew, extra, {"goal reward": (scale * (goal_r + goal_l)).sum()}
+        return rew, extra, {"goal reward": scale * (goal_r + goal_l)}
 
 
 def _mirror_y(actions):
@@ -608,12 +616,12 @@ class Go1TugWrapper(TaskWrapper):
             r = jnp.where(q < 0, s["success_reward_scale"] * (-q), 0.0)
             r = jnp.where(lastq <= q, r / 2, r)
             rew = rew.at[:, 0].add(r)
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("punishment_reward_scale", 0) != 0:
             pn = jnp.where(q > 0, s["punishment_reward_scale"] * q, 0.0)
             pn = jnp.where(lastq > q, pn / 2, pn)
             rew = rew.at[:, 0].add(-pn)
-            terms["punishment"] = pn.sum()
+            terms["punishment"] = _perenv(pn)
         base0 = obs.base_pos[:, 0, :2]
         last0 = extra["last_dis"][:, 0, :]
         d_now = jnp.linalg.norm(base0 - jnp.stack([jnp.full((E,), 1.6), q], -1), axis=-1)
@@ -621,11 +629,11 @@ class Go1TugWrapper(TaskWrapper):
         if s.get("pos_reward_scale", 0) != 0:
             r = jnp.where(d_now < d_last, (d_last - d_now) * s["pos_reward_scale"], 0.0)
             rew = rew.at[:, 0].add(r)
-            terms["pos reward"] = r.sum()
+            terms["pos reward"] = _perenv(r)
         if s.get("pos_punishment_scale", 0) != 0:
             pn = jnp.where(d_now >= d_last, 2.0**d_now * s["pos_punishment_scale"], 0.0)
             rew = rew.at[:, 0].add(-pn)
-            terms["pos punishment"] = pn.sum()
+            terms["pos punishment"] = _perenv(pn)
         extra = {"last_dis": obs.base_pos[..., :2], "last_npc": q}
         return rew, extra, terms
 
@@ -669,11 +677,11 @@ class Go1WrestlingWrapper(TaskWrapper):
         if s.get("success_reward_scale", 0) != 0:
             r = jnp.where(fallen[:, 1], s["success_reward_scale"], 0.0)
             rew = rew.at[:, 0].add(r)
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("punishment_scale", 0) != 0:
             pn = jnp.where(fallen[:, 0], s["punishment_scale"], 0.0)
             rew = rew.at[:, 0].add(-pn)
-            terms["punishment"] = pn.sum()
+            terms["punishment"] = _perenv(pn)
         return rew, extra, terms
 
 
@@ -720,16 +728,16 @@ class Go1RotationWrapper(TaskWrapper):
         if s.get("success_reward_scale", 0) != 0:
             r = jnp.where(x[:, 0] > tx, s["success_reward_scale"], 0.0)
             rew = rew.at[:, 0].add(r)
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("punishment_scale", 0) != 0:
             pn = jnp.where(x[:, 1] > tx, s["punishment_scale"], 0.0)
             rew = rew.at[:, 0].add(-pn)
-            terms["punishment"] = pn.sum()
+            terms["punishment"] = _perenv(pn)
         d = jnp.linalg.norm(obs.base_pos[..., :2] - jnp.asarray([tx, 0.0])[None, None, :], axis=-1)
         if s.get("distance_reward_scale", 0) != 0:
             r = jnp.where(d[:, 0] < extra["last_dis"][:, 0], s["distance_reward_scale"], 0.0)
             rew = rew.at[:, 0].add(r)
-            terms["distance reward"] = r.sum()
+            terms["distance reward"] = _perenv(r)
         return rew, {"last_dis": d}, terms
 
 
@@ -772,15 +780,15 @@ class Go1BridgeWrapper(TaskWrapper):
         if s.get("success_reward_scale", 0) != 0:
             r = jnp.where(z[:, 1] < 0.5, s["success_reward_scale"], 0.0)
             rew = rew.at[:, 0].add(r)
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         if s.get("punishment_scale", 0) != 0:
             pn = jnp.where(z[:, 0] < 0.5, s["punishment_scale"], 0.0)
             rew = rew.at[:, 0].add(-pn)
-            terms["punishment"] = pn.sum()
+            terms["punishment"] = _perenv(pn)
         if s.get("target_reward_scale", 0) != 0:
             r = jnp.where(x[:, 0] > extra["target"][:, 0, 0], s["target_reward_scale"], 0.0)
             rew = rew.at[:, 0].add(r)
-            terms["target reward"] = r.sum()
+            terms["target reward"] = _perenv(r)
         return rew, extra, terms
 
 
@@ -822,11 +830,11 @@ class Go1DoorWrapper(TaskWrapper):
             dx = jnp.where(info["reset_mask"], 0.0, dx)
             r = s["target_reward_scale"] * dx
             rew = rew + r[:, None]
-            terms["target reward"] = r.sum()
+            terms["target reward"] = _perenv(r)
         if s.get("success_reward_scale", 0) != 0:
             gx = self.bt["init"]["block_length"] + self.bt["gate"]["block_length"] / 2
             succ = (x > gx).astype(jnp.float32)
             r = s["success_reward_scale"] * succ
             rew = rew + r
-            terms["success reward"] = r.sum()
+            terms["success reward"] = _perenv(r)
         return rew, {**extra, "last_x": x, "door_q": state.phys.npcs.q[:, 0, 0]}, terms

@@ -17,6 +17,10 @@ def main(argv=None):
     p.add_argument("--episodes", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--video", default=None, help="output GIF path (env 0)")
+    p.add_argument("--json", default=None,
+                   help="append one JSON record of the eval result here")
+    p.add_argument("--recurrent", action="store_true",
+                   help="checkpoint was trained with --recurrent (GRU policy)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -32,7 +36,13 @@ def main(argv=None):
 
     wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
     A = getattr(wrap, "controlled_agents", wrap.num_agents)
-    net = ActorCritic(action_dim=wrap.action_dim)
+    if args.recurrent:
+        from mqe_tpu.learn.networks import RecurrentActorCritic
+
+        net = RecurrentActorCritic(action_dim=wrap.action_dim)
+    else:
+        net = ActorCritic(action_dim=wrap.action_dim)
+    h = net.initial_state((args.num_envs, A)) if args.recurrent else None
 
     params = None
     if args.checkpoint:
@@ -46,7 +56,9 @@ def main(argv=None):
             from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
             from mqe_tpu.utils.checkpoint import restore_pytree
 
-            tr = PPOTrainer(wrap, PPOConfig(), seed=args.seed)
+            tr = PPOTrainer(
+                wrap, PPOConfig(recurrent=args.recurrent), seed=args.seed
+            )
             params = restore_pytree(args.checkpoint, tr.init_state()).params
         print(f"loaded checkpoint {args.checkpoint}")
 
@@ -54,9 +66,12 @@ def main(argv=None):
     ts, obs = wrap.reset(key)
 
     @jax.jit
-    def act(params, obs):
-        mean, log_std, value = net.apply(params, obs)
-        return wrap.rl_prescale(mean)
+    def act(params, obs, h):
+        if args.recurrent:
+            mean, log_std, value, h = net.apply(params, obs, h)
+        else:
+            mean, log_std, value = net.apply(params, obs)
+        return wrap.rl_prescale(mean), h
 
     frames = []
     renderer = None
@@ -72,12 +87,14 @@ def main(argv=None):
     for i in range(max_steps):
         key, k = jax.random.split(key)
         if params is not None:
-            actions = act(params, obs)
+            actions, h = act(params, obs, h)
         else:
             actions = jnp.zeros((args.num_envs, A, 3)).at[..., 0].set(0.5)
         ts, obs, rew, done, info = wrap.step(ts, actions, k)
         ep_returns += np.asarray(rew).mean(axis=-1)
         d = np.asarray(done)
+        if args.recurrent and d.any():  # fresh memory for new episodes
+            h = jnp.where(jnp.asarray(d)[:, None, None], 0.0, h)
         if d.any():
             finished_returns.extend(ep_returns[d].tolist())
             ep_returns[d] = 0.0
@@ -91,11 +108,25 @@ def main(argv=None):
     succ_str = (
         f" success_rate={np.mean(finished_succ):.3f}" if finished_succ else ""
     )
-    print(
-        f"episodes={len(finished_returns)} "
-        f"mean_return={np.mean(finished_returns) if finished_returns else float(np.mean(ep_returns)):.3f}"
-        + succ_str
+    mean_ret = (
+        float(np.mean(finished_returns)) if finished_returns
+        else float(np.mean(ep_returns))
     )
+    print(f"episodes={len(finished_returns)} mean_return={mean_ret:.3f}" + succ_str)
+    if args.json:
+        import json
+
+        rec = {
+            "task": args.task,
+            "checkpoint": args.checkpoint,
+            "episodes": len(finished_returns),
+            "mean_return": round(mean_ret, 4),
+            "seed": args.seed,
+        }
+        if finished_succ:
+            rec["success_rate"] = round(float(np.mean(finished_succ)), 5)
+        with open(args.json, "a") as f:
+            f.write(json.dumps(rec) + "\n")
     if renderer is not None and frames:
         renderer.save_gif(frames, args.video)
         print(f"wrote {args.video} ({len(frames)} frames)")

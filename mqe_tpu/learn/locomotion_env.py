@@ -125,7 +125,13 @@ class LocomotionEnv:
     action_dim = 12
 
     def __init__(self, num_envs: int = 1024, seed: int = 0, cfg=LocomotionTrainCfg,
-                 scales: dict | None = None):
+                 scales: dict | None = None, resample_prob: float = 0.0):
+        # resample_prob: per-env per-step probability of redrawing the command
+        # ON TOP of the 5 s periodic resample. Task-layer RL policies change
+        # commands every control step (50 Hz), far faster than the 5 s
+        # training regime; training with random fast switches makes the body
+        # policy robust to that (fall-rate fix for task training, round 4).
+        self.resample_prob = float(resample_prob)
         cfg.env.num_envs = num_envs
         self.env = Go1Env(cfg, num_envs=num_envs, seed=seed)
         # train from scratch even if a body_policy asset was auto-loaded
@@ -378,9 +384,15 @@ class LocomotionEnv:
         )
         track_acc = track_acc * (1.0 - done_f)
 
-        # resample commands on reset + every 5 s
+        # resample commands on reset + every 5 s (+ random fast switches when
+        # resample_prob > 0 — robustness to task-layer 50 Hz command changes)
+        k_cmd, k_fast = jax.random.split(k_cmd)
         new_cmd = self._sample_commands(k_cmd, E, cmd_scale)
         resample = done | (es.episode_length % int(5.0 / self.dt) == 0)
+        if self.resample_prob > 0.0:
+            resample = resample | (
+                jax.random.uniform(k_fast, (E,)) < self.resample_prob
+            )
         commands = jnp.where(resample[:, None], new_cmd, cmd)
 
         obs = self._locomotion_obs(es, commands, clock)

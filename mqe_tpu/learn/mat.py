@@ -77,6 +77,7 @@ class MATTrainer(PPOTrainer):
     actions are sampled autoregressively agent-by-agent."""
 
     def __init__(self, wrapper, config: PPOConfig = PPOConfig(algo="mat"), seed: int = 0):
+        assert not config.recurrent, "MAT is a transformer; recurrent mode is PPO-only"
         self.w = wrapper
         self.cfg = config
         self.E = wrapper.num_envs
@@ -97,8 +98,9 @@ class MATTrainer(PPOTrainer):
         self._init_key = k2
         self.term_names = self._discover_term_names()
 
-    def _policy(self, params, obs, key):
-        """Sequential (autoregressive) sampling across agents."""
+    def _policy(self, params, obs, key, h=None):
+        """Sequential (autoregressive) sampling across agents.
+        (h unused: MAT is a transformer, recurrent mode unsupported.)"""
         A = self.A
         prev = jnp.zeros(obs.shape[:-1] + (self.act_dim,))
         actions = jnp.zeros_like(prev)
@@ -112,9 +114,9 @@ class MATTrainer(PPOTrainer):
                 prev = prev.at[..., i + 1, :].set(a_i)
         mean, log_std, value = self.net.apply(params, obs, prev)
         logp = gaussian_logp(mean, log_std, actions)
-        return actions, logp, value
+        return actions, logp, value, None
 
-    def _value(self, params, obs):
+    def _value(self, params, obs, h=None):
         prev = jnp.zeros(obs.shape[:-1] + (self.act_dim,))
         _, _, value = self.net.apply(params, obs, prev)
         return value
@@ -142,7 +144,7 @@ class MATTrainer(PPOTrainer):
 
     def _update_impl(self, ts: TrainState):
         cfg = self.cfg
-        env_state, key, traj, final_value, ep_acc = self._rollout(ts)
+        env_state, key, traj, final_value, ep_acc, _ = self._rollout(ts)
         advs, returns = self._gae(traj, final_value)
         if cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)

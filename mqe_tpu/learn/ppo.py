@@ -30,6 +30,7 @@ from mqe_tpu.utils.metrics import EpisodeAccumulator
 @dataclass(frozen=True)
 class PPOConfig:
     algo: str = "ppo"              # ppo | jrpo | dppo
+    recurrent: bool = False        # GRU policy (ref ppo.yaml use_recurrent_policy)
     lr: float = 7e-4
     rollout_len: int = 32
     num_minibatches: int = 4
@@ -54,6 +55,7 @@ class TrainState:
     ret_mean: jnp.ndarray        # running return normalization (valuenorm-lite)
     ret_var: jnp.ndarray
     ep_acc: EpisodeAccumulator   # extras["episode"]-style per-term episode means
+    rnn_h: object = None         # (E, A, H) GRU carry when recurrent, else None
 
 
 class PPOTrainer:
@@ -64,10 +66,18 @@ class PPOTrainer:
         self.A = getattr(wrapper, "controlled_agents", wrapper.num_agents)
         self.obs_dim = wrapper.obs_dim
         self.act_dim = wrapper.action_dim
-        self.net = ActorCritic(action_dim=self.act_dim)
         key = jax.random.PRNGKey(seed)
         k1, k2 = jax.random.split(key)
-        self.init_params = self.net.init(k1, jnp.zeros((1, self.obs_dim)))
+        if config.recurrent:
+            from mqe_tpu.learn.networks import RecurrentActorCritic
+
+            self.net = RecurrentActorCritic(action_dim=self.act_dim)
+            self.init_params = self.net.init(
+                k1, jnp.zeros((1, self.obs_dim)), self.net.initial_state((1,))
+            )
+        else:
+            self.net = ActorCritic(action_dim=self.act_dim)
+            self.init_params = self.net.init(k1, jnp.zeros((1, self.obs_dim)))
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
             optax.adam(config.lr, eps=1e-5),
@@ -109,24 +119,31 @@ class PPOTrainer:
                 self.E, self.term_names,
                 track_success=getattr(self.w, "has_success", False),
             ),
+            rnn_h=(
+                self.net.initial_state((self.E, self.A))
+                if self.cfg.recurrent else None
+            ),
         )
 
     # ------------------------------------------------------------------
-    def _policy(self, params, obs, key):
-        mean, log_std, value = self.net.apply(params, obs)
+    def _policy(self, params, obs, key, h=None):
+        if self.cfg.recurrent:
+            mean, log_std, value, h = self.net.apply(params, obs, h)
+        else:
+            mean, log_std, value = self.net.apply(params, obs)
         noise = jax.random.normal(key, mean.shape)
         action = mean + jnp.exp(log_std) * noise
         logp = gaussian_logp(mean, log_std, action)
-        return action, logp, value
+        return action, logp, value, h
 
     def _rollout(self, ts: TrainState):
         cfg = self.cfg
 
         def step(carry, _):
-            env_state, key, acc = carry
+            env_state, key, acc, h = carry
             key, k_act, k_env = jax.random.split(key, 3)
             obs = self.w.observe(env_state)
-            action, logp, value = self._policy(ts.params, obs, k_act)
+            action, logp, value, h_next = self._policy(ts.params, obs, k_act, h)
             env_state, next_obs, reward, done, info = self.w._step_impl(
                 env_state, self.w.rl_prescale(action), k_env
             )
@@ -140,17 +157,25 @@ class PPOTrainer:
                 obs=obs, action=action, logp=logp, value=value,
                 reward=reward[:, : self.A], done=done,
             )
-            return (env_state, key, acc), trans
+            if cfg.recurrent:
+                trans["h"] = h  # pre-step state, aligned with obs
+                # episode boundary: new episodes start with a fresh memory
+                h_next = jnp.where(done[:, None, None], 0.0, h_next)
+            return (env_state, key, acc, h_next), trans
 
-        (env_state, key, ep_acc), traj = jax.lax.scan(
-            step, (ts.env_state, ts.key, ts.ep_acc), None, length=cfg.rollout_len
+        (env_state, key, ep_acc, rnn_h), traj = jax.lax.scan(
+            step, (ts.env_state, ts.key, ts.ep_acc, ts.rnn_h), None,
+            length=cfg.rollout_len,
         )
         final_obs = self.w.observe(env_state)
-        final_value = self._value(ts.params, final_obs)
-        return env_state, key, traj, final_value, ep_acc
+        final_value = self._value(ts.params, final_obs, rnn_h)
+        return env_state, key, traj, final_value, ep_acc, rnn_h
 
-    def _value(self, params, obs):
-        _, _, value = self.net.apply(params, obs)
+    def _value(self, params, obs, h=None):
+        if self.cfg.recurrent:
+            _, _, value, _ = self.net.apply(params, obs, h)
+        else:
+            _, _, value = self.net.apply(params, obs)
         return value
 
     def _gae(self, traj, final_value):
@@ -174,7 +199,13 @@ class PPOTrainer:
 
     def _loss(self, params, batch):
         cfg = self.cfg
-        mean, log_std, value = self.net.apply(params, batch["obs"])
+        if cfg.recurrent:
+            # stored-state scheme: replay each step from its recorded hidden
+            mean, log_std, value, _ = self.net.apply(
+                params, batch["obs"], batch["h"]
+            )
+        else:
+            mean, log_std, value = self.net.apply(params, batch["obs"])
         logp = gaussian_logp(mean, log_std, batch["action"])
         ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
@@ -192,7 +223,7 @@ class PPOTrainer:
 
     def _update_impl(self, ts: TrainState):
         cfg = self.cfg
-        env_state, key, traj, final_value, ep_acc = self._rollout(ts)
+        env_state, key, traj, final_value, ep_acc, rnn_h = self._rollout(ts)
         advs, returns = self._gae(traj, final_value)
         if cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
@@ -206,6 +237,8 @@ class PPOTrainer:
             adv=flat(advs),
             ret=flat(returns),
         )
+        if cfg.recurrent:
+            batch["h"] = flat(traj["h"][:, :, : self.A])
         n = T * E * A
         mb = n // cfg.num_minibatches
 
@@ -240,7 +273,7 @@ class PPOTrainer:
         )
         ts = ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
-            update_count=ts.update_count + 1, ep_acc=ep_acc,
+            update_count=ts.update_count + 1, ep_acc=ep_acc, rnn_h=rnn_h,
         )
         return ts, metrics
 
@@ -248,8 +281,8 @@ class PPOTrainer:
         return self._update(ts)
 
     # ---- split-phase path ----
-    def _rollout_fn(self, params, env_state, key, ep_acc):
-        class _TS:  # lightweight view for _rollout's ts.{params,env_state,key,ep_acc}
+    def _rollout_fn(self, params, env_state, key, ep_acc, rnn_h=None):
+        class _TS:  # lightweight view for _rollout's ts.{params,env_state,key,ep_acc,rnn_h}
             pass
 
         view = _TS()
@@ -257,11 +290,12 @@ class PPOTrainer:
         view.env_state = env_state
         view.key = key
         view.ep_acc = ep_acc
-        env_state, key, traj, final_value, ep_acc = self._rollout(view)
+        view.rnn_h = rnn_h
+        env_state, key, traj, final_value, ep_acc, rnn_h = self._rollout(view)
         advs, returns = self._gae(traj, final_value)
         if self.cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
-        return env_state, key, traj, advs, returns, ep_acc
+        return env_state, key, traj, advs, returns, ep_acc, rnn_h
 
     def _sgd_fn(self, params, opt_state, batch, key):
         cfg = self.cfg
@@ -297,8 +331,8 @@ class PPOTrainer:
         if self._rollout_jit is None:
             self._rollout_jit = jax.jit(self._rollout_fn)
             self._sgd_jit = jax.jit(self._sgd_fn, donate_argnums=(0, 1))
-        env_state, key, traj, advs, returns, ep_acc = self._rollout_jit(
-            ts.params, ts.env_state, ts.key, ts.ep_acc
+        env_state, key, traj, advs, returns, ep_acc, rnn_h = self._rollout_jit(
+            ts.params, ts.env_state, ts.key, ts.ep_acc, ts.rnn_h
         )
         T, E, A = self.cfg.rollout_len, self.E, self.A
         flat = lambda x: x.reshape((T * E * A,) + x.shape[3:])
@@ -309,6 +343,8 @@ class PPOTrainer:
             adv=flat(advs),
             ret=flat(returns),
         )
+        if self.cfg.recurrent:
+            batch["h"] = flat(traj["h"][:, :, : A])
         key, k = jax.random.split(key)
         params, opt_state, loss = self._sgd_jit(ts.params, ts.opt_state, batch, k)
         metrics = dict(
@@ -319,7 +355,7 @@ class PPOTrainer:
         )
         return ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
-            update_count=ts.update_count + 1, ep_acc=ep_acc,
+            update_count=ts.update_count + 1, ep_acc=ep_acc, rnn_h=rnn_h,
         ), metrics
 
     def update_many(self, ts: TrainState, n: int):

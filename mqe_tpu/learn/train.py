@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--train-timesteps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lr", type=float, default=7e-4)
+    p.add_argument("--ent-coef", type=float, default=0.0,
+                   help="entropy bonus (default matches the reference's ppo.yaml)")
+    p.add_argument("--recurrent", action="store_true",
+                   help="GRU policy (ref ppo.yaml use_recurrent_policy: true)")
     p.add_argument("--rollout-len", type=int, default=32)
     p.add_argument("--checkpoint-dir", default="./checkpoints")
     p.add_argument("--checkpoint-every", type=int, default=50,
@@ -64,7 +68,9 @@ def main(argv=None):
 
     wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
     algo = "ppo" if args.algo == "sppo" else args.algo  # sppo: OpenRL's simple-PPO == shared-param PPO here
-    pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len)
+    pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len,
+                     ent_coef=args.ent_coef,
+                     recurrent=args.recurrent and args.algo != "mat")
     if args.algo == "mat":
         from mqe_tpu.learn.mat import MATTrainer
 

@@ -26,6 +26,14 @@ def main(argv=None):
     p.add_argument("--updates-per-call", type=int, default=1)
     p.add_argument("--split-jit", action="store_true")
     p.add_argument(
+        "--resample-prob", type=float, default=0.0,
+        help="per-env per-step probability of a random command switch "
+             "(robustness to the task layer's 50 Hz command changes)")
+    p.add_argument(
+        "--init-policy", default=None,
+        help="warm-start actor+critic from a previously saved body-policy "
+             "npz (continue training instead of from scratch)")
+    p.add_argument(
         "--backend", default="residual", choices=["residual", "policy", "trot"],
         help="'residual' = learn a correction on the model-based trot "
         "(well-conditioned); 'policy' = learn joint offsets from scratch "
@@ -46,13 +54,31 @@ def main(argv=None):
     # trot backend adds a supplementary PD in Go1Env._torques, the policy
     # backend is the bare actuator net (reference parity)
     LocomotionTrainCfg.control.locomotion_backend = args.backend
-    env = LocomotionEnv(num_envs=args.num_envs, seed=args.seed)
+    env = LocomotionEnv(num_envs=args.num_envs, seed=args.seed,
+                        resample_prob=args.resample_prob)
     trainer = PPOTrainer(
         env,
         PPOConfig(lr=args.lr, rollout_len=args.rollout_len, ent_coef=1e-3),
         seed=args.seed,
     )
     print(f"locomotion training: envs={args.num_envs}", flush=True)
+
+    if args.init_policy:
+        d = np.load(args.init_policy)
+        paths, treedef = jax.tree_util.tree_flatten_with_path(trainer.init_params)
+        leaves = []
+        missing = []
+        for path, leaf in paths:
+            name = "/".join(str(k.key) for k in path)
+            if name in d:
+                assert d[name].shape == leaf.shape, (name, d[name].shape, leaf.shape)
+                leaves.append(jax.numpy.asarray(d[name]))
+            else:
+                missing.append(name)
+                leaves.append(leaf)
+        trainer.init_params = jax.tree_util.tree_unflatten(treedef, leaves)
+        print(f"warm-started from {args.init_policy}"
+              + (f" (fresh: {missing})" if missing else ""), flush=True)
 
     def cb(m):
         print(json.dumps(m), flush=True)

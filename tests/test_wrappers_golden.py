@@ -56,7 +56,8 @@ def test_build_step_all(task):
     assert np.isfinite(np.asarray(obs2)).all()
     assert np.isfinite(np.asarray(rew)).all()
     for k, v in info["reward_terms"].items():
-        assert np.isfinite(float(v)), k
+        assert np.asarray(v).shape == (2,), k  # per-env term values
+        assert np.isfinite(np.asarray(v)).all(), k
 
 
 # ---------------------------------------------------------------------------
