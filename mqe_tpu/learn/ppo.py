@@ -43,6 +43,12 @@ class PPOConfig:
     ent_coef: float = 0.0
     max_grad_norm: float = 0.5
     normalize_adv: bool = True
+    # running return normalization for the critic (ref ppo.yaml
+    # use_valuenorm: true): the critic regresses normalized returns and its
+    # outputs are denormalized for GAE — stabilizes tasks mixing sparse
+    # success rewards (5-10) with small dense shaping
+    use_valuenorm: bool = True
+    valuenorm_beta: float = 0.995
 
 
 @struct.dataclass
@@ -221,10 +227,35 @@ class PPOTrainer:
         loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
         return loss, dict(pg_loss=pg_loss, v_loss=v_loss, entropy=entropy)
 
+    def _valuenorm(self, ts, traj, final_value):
+        """Critic outputs are normalized-return predictions; denormalize them
+        with the running stats before GAE (ref ppo.yaml use_valuenorm)."""
+        std = jnp.sqrt(ts.ret_var + 1e-8)
+        traj = dict(traj)
+        traj["value"] = traj["value"] * std + ts.ret_mean
+        final_value = final_value * std + ts.ret_mean
+        return traj, final_value
+
+    def _valuenorm_update(self, ts, returns):
+        """EMA-refresh the return stats; returns (mean, var, normalizer)."""
+        b = self.cfg.valuenorm_beta
+        new_mean = b * ts.ret_mean + (1 - b) * returns.mean()
+        new_var = b * ts.ret_var + (1 - b) * returns.var()
+        norm = lambda r: (r - new_mean) / jnp.sqrt(new_var + 1e-8)
+        return new_mean, new_var, norm
+
     def _update_impl(self, ts: TrainState):
         cfg = self.cfg
         env_state, key, traj, final_value, ep_acc, rnn_h = self._rollout(ts)
+        if cfg.use_valuenorm:
+            traj, final_value = self._valuenorm(ts, traj, final_value)
         advs, returns = self._gae(traj, final_value)
+        if cfg.use_valuenorm:
+            ret_mean, ret_var, norm = self._valuenorm_update(ts, returns)
+            ret_for_loss = norm(returns)
+        else:
+            ret_mean, ret_var = ts.ret_mean, ts.ret_var
+            ret_for_loss = returns
         if cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
 
@@ -235,7 +266,7 @@ class PPOTrainer:
             action=flat(traj["action"][:, :, : self.A]),
             logp=flat(traj["logp"][:, :, : self.A]),
             adv=flat(advs),
-            ret=flat(returns),
+            ret=flat(ret_for_loss),
         )
         if cfg.recurrent:
             batch["h"] = flat(traj["h"][:, :, : self.A])
@@ -274,6 +305,7 @@ class PPOTrainer:
         ts = ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
             update_count=ts.update_count + 1, ep_acc=ep_acc, rnn_h=rnn_h,
+            ret_mean=ret_mean, ret_var=ret_var,
         )
         return ts, metrics
 
@@ -281,8 +313,9 @@ class PPOTrainer:
         return self._update(ts)
 
     # ---- split-phase path ----
-    def _rollout_fn(self, params, env_state, key, ep_acc, rnn_h=None):
-        class _TS:  # lightweight view for _rollout's ts.{params,env_state,key,ep_acc,rnn_h}
+    def _rollout_fn(self, params, env_state, key, ep_acc, rnn_h=None,
+                    ret_mean=0.0, ret_var=1.0):
+        class _TS:  # lightweight view for _rollout's ts.{params,env_state,key,...}
             pass
 
         view = _TS()
@@ -291,11 +324,18 @@ class PPOTrainer:
         view.key = key
         view.ep_acc = ep_acc
         view.rnn_h = rnn_h
+        view.ret_mean = ret_mean
+        view.ret_var = ret_var
         env_state, key, traj, final_value, ep_acc, rnn_h = self._rollout(view)
+        if self.cfg.use_valuenorm:
+            traj, final_value = self._valuenorm(view, traj, final_value)
         advs, returns = self._gae(traj, final_value)
+        if self.cfg.use_valuenorm:
+            ret_mean, ret_var, norm = self._valuenorm_update(view, returns)
+            returns = norm(returns)
         if self.cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
-        return env_state, key, traj, advs, returns, ep_acc, rnn_h
+        return env_state, key, traj, advs, returns, ep_acc, rnn_h, ret_mean, ret_var
 
     def _sgd_fn(self, params, opt_state, batch, key):
         cfg = self.cfg
@@ -331,8 +371,10 @@ class PPOTrainer:
         if self._rollout_jit is None:
             self._rollout_jit = jax.jit(self._rollout_fn)
             self._sgd_jit = jax.jit(self._sgd_fn, donate_argnums=(0, 1))
-        env_state, key, traj, advs, returns, ep_acc, rnn_h = self._rollout_jit(
-            ts.params, ts.env_state, ts.key, ts.ep_acc, ts.rnn_h
+        (env_state, key, traj, advs, returns, ep_acc, rnn_h,
+         ret_mean, ret_var) = self._rollout_jit(
+            ts.params, ts.env_state, ts.key, ts.ep_acc, ts.rnn_h,
+            ts.ret_mean, ts.ret_var,
         )
         T, E, A = self.cfg.rollout_len, self.E, self.A
         flat = lambda x: x.reshape((T * E * A,) + x.shape[3:])
@@ -356,6 +398,7 @@ class PPOTrainer:
         return ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
             update_count=ts.update_count + 1, ep_acc=ep_acc, rnn_h=rnn_h,
+            ret_mean=ret_mean, ret_var=ret_var,
         ), metrics
 
     def update_many(self, ts: TrainState, n: int):
@@ -420,6 +463,14 @@ class PPOTrainer:
                 # window (ref extras["episode"], legged_robot.py:1063-1076)
                 m.update(ts.ep_acc.summarize())
                 ts = ts.replace(ep_acc=ts.ep_acc.reset_window())
+                # best-by-episode-return snapshot: PPO can collapse after its
+                # peak (observed on go1gate round 4); periodic checkpoints
+                # overwrite with the collapsed policy, the _best one doesn't
+                if checkpoint_path and m.get("episodes", 0) > 0 and (
+                    m["mean_episode_return"] > getattr(self, "_best_ret", -np.inf)
+                ):
+                    self._best_ret = m["mean_episode_return"]
+                    self.save_checkpoint(ts, checkpoint_path + "_best")
                 history.append(m)
                 if callback:
                     callback(m)
