@@ -91,7 +91,7 @@ def main():
                           boxes=boxes, static_geoms=sg)
             return S._terrain_and_box_force(
                 x.reshape(A * ns, 3), v.reshape(A * ns, 3), sph_r, t,
-                scene.contact, mu, False, scene.flat_height)
+                scene.contact, mu, scene.flat_height)
 
         return jax.vmap(one)(sph_x, sph_v, dr.mu_scale, env.env_boxes, env.static_geoms)
 
