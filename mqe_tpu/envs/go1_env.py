@@ -413,23 +413,27 @@ class Go1Env:
         payload = jnp.zeros(A)
         com_shift = jnp.zeros((A, 3))
         motor = jnp.ones((A, 12))
+        # independent subkeys per randomization (round 5: k8 was previously
+        # both consumed for payload AND re-split, with one subkey shared by
+        # com-x and motor strength — correlated draws across nominally
+        # independent randomizations; VERDICT r4 weak #5)
+        k_pay, k_cx, k_cy, k_cz, k_mot = jax.random.split(k8, 5)
         if dr_cfg.randomize_base_mass:
             mr = dr_cfg.added_mass_range
-            payload = jax.random.uniform(k8, (A,), minval=mr[0], maxval=mr[1])
-        kk = jax.random.split(k8, 3)
+            payload = jax.random.uniform(k_pay, (A,), minval=mr[0], maxval=mr[1])
         if dr_cfg.randomize_com:
             cr = dr_cfg.com_range
             com_shift = jnp.stack(
                 [
-                    jax.random.uniform(kk[0], (A,), minval=cr["x"][0], maxval=cr["x"][1]),
-                    jax.random.uniform(kk[1], (A,), minval=cr["y"][0], maxval=cr["y"][1]),
-                    jax.random.uniform(kk[2], (A,), minval=cr["z"][0], maxval=cr["z"][1]),
+                    jax.random.uniform(k_cx, (A,), minval=cr["x"][0], maxval=cr["x"][1]),
+                    jax.random.uniform(k_cy, (A,), minval=cr["y"][0], maxval=cr["y"][1]),
+                    jax.random.uniform(k_cz, (A,), minval=cr["z"][0], maxval=cr["z"][1]),
                 ],
                 axis=-1,
             )
         if dr_cfg.randomize_motor:
             mr = dr_cfg.leg_motor_strength_range
-            motor = jax.random.uniform(kk[0], (A, 12), minval=mr[0], maxval=mr[1])
+            motor = jax.random.uniform(k_mot, (A, 12), minval=mr[0], maxval=mr[1])
         dr = S.DomainRand(mu_scale=mu, payload=payload, com_shift=com_shift, motor_strength=motor)
         return agents, npcs, dr
 
@@ -868,6 +872,18 @@ class Go1Env:
 
     def _step_impl(self, state: EnvState, commands, key):
         """Pure control-rate step. commands: (E, A_cmd, 3)."""
+        state, carry = self._step_pre(state, commands, key)
+        return self._step_finish(state, carry)
+
+    def _step_pre(self, state: EnvState, commands, key):
+        """Physics + termination, BEFORE the masked auto-reset.
+
+        Returns the pre-reset state (done/term flags set) plus a carry for
+        `_step_finish`. Split out so task wrappers can evaluate terminal-step
+        success conditions on the state that actually terminated (the
+        reference reads post-reset obs — go1_wrestling_wrapper.py:55-67 —
+        which can never observe success thresholds beyond the termination
+        thresholds; we deviate to make success metrics meaningful)."""
         cfg = self.cfg
         E, A = self.num_envs, self.num_agents
         k_npc, k_push, k_reset, k_lv = jax.random.split(key, 4)
@@ -934,8 +950,17 @@ class Go1Env:
             push_timer=state.push_timer + 1,
         )
 
-        # termination + masked auto-reset
+        # termination (reset itself happens in _step_finish)
         done, collide, r_term, p_term, timeout = self._termination(state, contacts)
+        state = state.replace(
+            done=done, collide=collide, r_term=r_term, p_term=p_term,
+        )
+        return state, (done, collide, r_term, p_term, timeout, k_reset, k_lv)
+
+    def _step_finish(self, state: EnvState, carry):
+        """Curriculum + masked auto-reset + observations (post-reset half)."""
+        E = self.num_envs
+        done, collide, r_term, p_term, timeout, k_reset, k_lv = carry
 
         # terrain curriculum: promote envs whose farthest agent crossed half
         # the track, demote envs that covered less than half the commanded

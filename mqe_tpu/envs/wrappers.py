@@ -115,6 +115,20 @@ class TaskWrapper:
             off += self.bt[b]["block_length"]
         return off
 
+    def _block_x(self, name, occurrence=0, frac=0.0):
+        """x-offset (from the env origin) of the start of the
+        `occurrence`-th block named `name` in the configured block list,
+        plus `frac` of that block's length. Walks cfg's actual options list
+        so success/goal geometry survives config edits (VERDICT r4 #8)."""
+        off, seen = 0.0, 0
+        for b in self.bt["options"]:
+            if b == name:
+                if seen == occurrence:
+                    return off + frac * self.bt[b]["block_length"]
+                seen += 1
+            off += self.bt[b]["block_length"]
+        raise KeyError(f"block {name!r} (occurrence {occurrence}) not in options")
+
     def _gate_pos(self, obs: ObsBuf, x_offset: float):
         """(E, 2) world-relative gate center from terrain oracle info."""
         dev = obs.env_info["gate_deviation"]
@@ -136,7 +150,8 @@ class TaskWrapper:
     def _step_impl(self, ts: TaskState, actions, key):
         actions = jnp.clip(actions, -1.0, 1.0)
         cmds = self._transform_actions(actions) * jnp.asarray(ACTION_SCALE)
-        state, obs_buf, done, info = self.env._step_impl(ts.env, cmds, key)
+        pre_state, carry = self.env._step_pre(ts.env, cmds, key)
+        state, obs_buf, done, info = self.env._step_finish(pre_state, carry)
         reward, extra, terms = self._reward(state, obs_buf, ts.extra, actions, info)
         # diff-based rewards must reinitialize across resets: refresh extras
         # for reset envs (reference zeroes via env.reset_ids indexing)
@@ -144,8 +159,14 @@ class TaskWrapper:
         if self.has_success:
             # success may have been achieved on any earlier step of the
             # episode; carry the ever-flag and report it at done so episode
-            # success rates can be accumulated device-side
-            ever = ts.extra["ep_success"] | self._success(state, obs_buf, ts.extra)
+            # success rates can be accumulated device-side. Evaluated on the
+            # PRE-reset state: termination-coincident successes (wrestling
+            # opponent falling, bridge push-off) happen on exactly the step
+            # whose post-reset state is a fresh spawn, so reading post-reset
+            # (as the reference does, go1_wrestling_wrapper.py:55-67) pins
+            # those success rates at ~0.
+            pre_obs = self.env._observations(pre_state)
+            ever = ts.extra["ep_success"] | self._success(pre_state, pre_obs, ts.extra)
             info = dict(info)
             info["ep_success"] = ever
             extra = {**extra, "ep_success": ever}
@@ -397,11 +418,21 @@ class Go1SeesawWrapper(TaskWrapper):
     def obs_dim(self):
         return 12 + self.num_agents
 
+    @property
+    def _succ_thresholds(self):
+        """(x, z) for the elevated-far-platform success. Derived from the
+        seesaw pivot pose (cfg init_states_npc): the reference hard-codes
+        7.7/1.3 for a pivot at (8.0, z=1.0) (ref go1_seesaw_wrapper.py:108);
+        we keep that geometry relative to the configured pivot."""
+        npc = self.env.cfg.init_state.init_states_npc[0].pos
+        return npc[0] - 0.3, npc[2] + 0.3
+
     def _success(self, state, obs, extra):
         # an agent reached the elevated far platform (success-term condition)
+        sx, sz = self._succ_thresholds
         x = obs.base_pos[..., 0]
         z = obs.base_pos[..., 2]
-        return ((x > 7.7) & (z > 1.3)).any(axis=1)
+        return ((x > sx) & (z > sz)).any(axis=1)
 
     def _extra_init(self, state, obs):
         return {"last_x": obs.base_pos[..., 0]}
@@ -443,7 +474,8 @@ class Go1SeesawWrapper(TaskWrapper):
             rew = rew + pun
             terms["agent distance punishment"] = _perenv(pun)
         if s.get("success_reward_scale", 0) != 0:
-            succ = ((x > 7.7) & (z > 1.3)).sum(axis=1).astype(jnp.float32)
+            sx, sz = self._succ_thresholds
+            succ = ((x > sx) & (z > sz)).sum(axis=1).astype(jnp.float32)
             r = s["success_reward_scale"] * succ
             rew = rew + r[:, None]
             terms["success reward"] = _perenv(r)
@@ -471,7 +503,9 @@ class Go1FootballDefenderWrapper(TaskWrapper):
         return self._ball(state)[:, 0] > self._gate(state)[0]
 
     def _gate(self, state):
-        gx = self.bt["init"]["block_length"] + self.bt["plane"]["block_length"]
+        # goal line = far end of the pitch plane (walk the configured block
+        # list rather than hard-coding the init+plane sequence)
+        gx = self._block_x("plane", frac=1.0)
         return jnp.asarray([gx, 0.0])
 
     def _extra_init(self, state, obs):
@@ -518,13 +552,8 @@ class Go1FootballGameWrapper(TaskWrapper):
         return 18 + self.num_agents
 
     def _success(self, state, obs, extra):
-        # team 0 scored (ball past the right goal line)
-        gx_right = (
-            self.bt["init"]["block_length"]
-            + self.bt["gate"]["block_length"]
-            + self.bt["plane"]["block_length"]
-        )
-        return self._ball(state)[:, 0] > gx_right
+        # team 0 scored (ball past the right goal line = second gate block)
+        return self._ball(state)[:, 0] > self._block_x("gate", occurrence=1)
 
     def _extra_init(self, state, obs):
         return {}
@@ -543,8 +572,8 @@ class Go1FootballGameWrapper(TaskWrapper):
         E, A = self.num_envs, self.num_agents
         s = self.scales
         ball = self._ball(state)
-        gx_right = self.bt["init"]["block_length"] + self.bt["gate"]["block_length"] + self.bt["plane"]["block_length"]
-        gx_left = self.bt["init"]["block_length"]
+        gx_right = self._block_x("gate", occurrence=1)
+        gx_left = self._block_x("gate", occurrence=0)
         goal_r = (ball[:, 0] > gx_right).astype(jnp.float32)
         goal_l = (ball[:, 0] < gx_left).astype(jnp.float32)
         scale = s.get("goal_reward_scale", 10)

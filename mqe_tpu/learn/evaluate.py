@@ -22,6 +22,11 @@ def main(argv=None):
     p.add_argument("--recurrent", action="store_true",
                    help="checkpoint was trained with --recurrent (GRU policy)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--stochastic", action="store_true",
+                   help="sample actions from the policy distribution instead "
+                        "of acting on the mean (matches the training-rollout "
+                        "behavior; used to reconcile train-window vs eval "
+                        "success rates)")
     args = p.parse_args(argv)
 
     import jax
@@ -66,11 +71,13 @@ def main(argv=None):
     ts, obs = wrap.reset(key)
 
     @jax.jit
-    def act(params, obs, h):
+    def act(params, obs, h, k):
         if args.recurrent:
             mean, log_std, value, h = net.apply(params, obs, h)
         else:
             mean, log_std, value = net.apply(params, obs)
+        if args.stochastic:
+            mean = mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
         return wrap.rl_prescale(mean), h
 
     frames = []
@@ -85,9 +92,9 @@ def main(argv=None):
     finished_succ = []
     max_steps = args.episodes * wrap.env.max_episode_length
     for i in range(max_steps):
-        key, k = jax.random.split(key)
+        key, k, k_act = jax.random.split(key, 3)
         if params is not None:
-            actions, h = act(params, obs, h)
+            actions, h = act(params, obs, h, k_act)
         else:
             actions = jnp.zeros((args.num_envs, A, 3)).at[..., 0].set(0.5)
         ts, obs, rew, done, info = wrap.step(ts, actions, k)
@@ -122,6 +129,7 @@ def main(argv=None):
             "episodes": len(finished_returns),
             "mean_return": round(mean_ret, 4),
             "seed": args.seed,
+            "mode": "stochastic" if args.stochastic else "deterministic",
         }
         if finished_succ:
             rec["success_rate"] = round(float(np.mean(finished_succ)), 5)

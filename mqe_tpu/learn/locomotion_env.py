@@ -386,7 +386,10 @@ class LocomotionEnv:
 
         # resample commands on reset + every 5 s (+ random fast switches when
         # resample_prob > 0 — robustness to task-layer 50 Hz command changes)
-        k_cmd, k_fast = jax.random.split(k_cmd)
+        # split only when the fast-switch branch is live so the default
+        # config's RNG stream stays bit-exact with prior-round runs
+        if self.resample_prob > 0.0:
+            k_cmd, k_fast = jax.random.split(k_cmd)
         new_cmd = self._sample_commands(k_cmd, E, cmd_scale)
         resample = done | (es.episode_length % int(5.0 / self.dt) == 0)
         if self.resample_prob > 0.0:

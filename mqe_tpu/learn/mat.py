@@ -145,7 +145,17 @@ class MATTrainer(PPOTrainer):
     def _update_impl(self, ts: TrainState):
         cfg = self.cfg
         env_state, key, traj, final_value, ep_acc, _ = self._rollout(ts)
+        # valuenorm (same scheme as PPOTrainer._update_impl; previously the
+        # MAT path silently ignored cfg.use_valuenorm — ADVICE r4)
+        if cfg.use_valuenorm:
+            traj, final_value = self._valuenorm(ts, traj, final_value)
         advs, returns = self._gae(traj, final_value)
+        if cfg.use_valuenorm:
+            ret_mean, ret_var, norm = self._valuenorm_update(ts, returns)
+            ret_for_loss = norm(returns)
+        else:
+            ret_mean, ret_var = ts.ret_mean, ts.ret_var
+            ret_for_loss = returns
         if cfg.normalize_adv:
             advs = (advs - advs.mean()) / (advs.std() + 1e-8)
 
@@ -157,7 +167,7 @@ class MATTrainer(PPOTrainer):
             action=flat(traj["action"][:, :, : A]),
             logp=flat(traj["logp"][:, :, : A]),
             adv=flat(advs),
-            ret=flat(returns),
+            ret=flat(ret_for_loss),
         )
         n = T * E
         mb = n // cfg.num_minibatches
@@ -193,5 +203,6 @@ class MATTrainer(PPOTrainer):
         ts = ts.replace(
             params=params, opt_state=opt_state, env_state=env_state, key=key,
             update_count=ts.update_count + 1, ep_acc=ep_acc,
+            ret_mean=ret_mean, ret_var=ret_var,
         )
         return ts, metrics

@@ -49,6 +49,14 @@ class PPOConfig:
     # success rewards (5-10) with small dense shaping
     use_valuenorm: bool = True
     valuenorm_beta: float = 0.995
+    # command-envelope warmup: linearly open the forward-speed (vx) command
+    # from cmd_warmup_floor to 1.0 over the first N updates. Motivated by
+    # the go1seesaw r4 negative result: with the full +/-2 m/s envelope from
+    # step one, the x-movement reward drives a sprint into the seesaw ramp,
+    # the robot flips and terminates before any approach gradient can form
+    # (BENCHLOG r4). 0 = off.
+    cmd_warmup_updates: int = 0
+    cmd_warmup_floor: float = 0.3
 
 
 @struct.dataclass
@@ -144,14 +152,24 @@ class PPOTrainer:
 
     def _rollout(self, ts: TrainState):
         cfg = self.cfg
+        if cfg.cmd_warmup_updates > 0:
+            warm = jnp.clip(
+                ts.update_count / cfg.cmd_warmup_updates,
+                cfg.cmd_warmup_floor, 1.0,
+            )
+        else:
+            warm = None
 
         def step(carry, _):
             env_state, key, acc, h = carry
             key, k_act, k_env = jax.random.split(key, 3)
             obs = self.w.observe(env_state)
             action, logp, value, h_next = self._policy(ts.params, obs, k_act, h)
+            cmd = self.w.rl_prescale(action)
+            if warm is not None:
+                cmd = cmd.at[..., 0].multiply(warm)
             env_state, next_obs, reward, done, info = self.w._step_impl(
-                env_state, self.w.rl_prescale(action), k_env
+                env_state, cmd, k_env
             )
             acc = acc.update(
                 reward[:, : self.A].mean(-1), done, info.get("reward_terms"),
@@ -471,6 +489,17 @@ class PPOTrainer:
                 ):
                     self._best_ret = m["mean_episode_return"]
                     self.save_checkpoint(ts, checkpoint_path + "_best")
+                # best-by-window-success snapshot: return and success can
+                # peak at different updates (round-5 forensics: the r4
+                # best-return gate checkpoint evals at 41% while the success
+                # window peaked at 70% — the policy decayed between peak and
+                # save; selecting on success directly narrows that loss)
+                if checkpoint_path and m.get("episodes", 0) > 0 and (
+                    m.get("success_rate") is not None
+                    and m["success_rate"] > getattr(self, "_best_succ", -1.0)
+                ):
+                    self._best_succ = m["success_rate"]
+                    self.save_checkpoint(ts, checkpoint_path + "_bestsucc")
                 history.append(m)
                 if callback:
                     callback(m)

@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--recurrent", action="store_true",
                    help="GRU policy (ref ppo.yaml use_recurrent_policy: true)")
     p.add_argument("--rollout-len", type=int, default=32)
+    p.add_argument("--cmd-warmup", type=int, default=0,
+                   help="open the vx command envelope linearly over the "
+                        "first N updates (seesaw-style careful-approach "
+                        "curriculum); 0 = off")
     p.add_argument("--checkpoint-dir", default="./checkpoints")
     p.add_argument("--checkpoint-every", type=int, default=50,
                    help="save full TrainState every N update calls (0 = end only)")
@@ -70,6 +74,7 @@ def main(argv=None):
     algo = "ppo" if args.algo == "sppo" else args.algo  # sppo: OpenRL's simple-PPO == shared-param PPO here
     pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len,
                      ent_coef=args.ent_coef,
+                     cmd_warmup_updates=args.cmd_warmup,
                      recurrent=args.recurrent and args.algo != "mat")
     if args.algo == "mat":
         from mqe_tpu.learn.mat import MATTrainer

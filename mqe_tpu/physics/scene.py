@@ -11,6 +11,7 @@ quantities flattened by the env layer.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -567,7 +568,14 @@ def substep_batch(
     # ---- agent dynamics (SoA; fused Pallas kernel on TPU) ----
     use_pallas = scene.use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # MQE_TPU_USE_PALLAS=0/1 overrides the auto default (on for TPU
+        # backends) — escape hatch for runtimes where the fused kernel
+        # misbehaves (bench.py additionally A/Bs both paths at warmup).
+        flag = os.environ.get("MQE_TPU_USE_PALLAS")
+        if flag is not None:
+            use_pallas = flag.lower() not in ("0", "false", "off", "")
+        else:
+            use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from mqe_tpu.physics.pallas_step import step_actor_pallas
 

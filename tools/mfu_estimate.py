@@ -37,6 +37,11 @@ def main():
     p.add_argument("--configs", nargs="*", default=["go1gate:4096", "go1sheep-hard:2048"])
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--path", default="auto", choices=["auto", "xla", "pallas"],
+                   help="dynamics path; note: XLA cost analysis reports ~0 "
+                        "flops for the Pallas custom-call body, so the "
+                        "pallas-path flops/bytes are a LOWER bound covering "
+                        "only the surrounding XLA ops")
     args = p.parse_args()
     import jax
 
@@ -50,6 +55,12 @@ def main():
         task, n = spec.rsplit(":", 1)
         E = int(n)
         wrap, _ = make_mqe_env(task, num_envs=E, seed=0)
+        if args.path != "auto":
+            import dataclasses
+
+            wrap.env.scene = dataclasses.replace(
+                wrap.env.scene, use_pallas=(args.path == "pallas")
+            )
         ts, _ = wrap.reset(jax.random.PRNGKey(0))
         A = getattr(wrap, "controlled_agents", wrap.num_agents)
         acts = jnp.zeros((E, A, 3)).at[..., 0].set(0.5)
@@ -88,6 +99,7 @@ def main():
         out = {
             "task": task,
             "num_envs": E,
+            "path": args.path,
             "env_steps_per_s": round(steps_per_s, 1),
             "flops_per_control_step": round(flops_chunk / args.steps),
             "bytes_per_control_step": round(bytes_chunk / args.steps),
