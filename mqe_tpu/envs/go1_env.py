@@ -489,8 +489,14 @@ class Go1Env:
     # ------------------------------------------------------------------
     # stepping
     # ------------------------------------------------------------------
-    def _locomotion_action(self, state: EnvState, commands):
-        """commands (E, A, 3) -> locomotion action (E, A, 12) + new clocks."""
+    def _locomotion_action(self, state: EnvState, commands, gait_override=None):
+        """commands (E, A, 3) -> locomotion action (E, A, 12) + new clocks.
+
+        gait_override: optional dict of per-env gait params ("phases",
+        "offsets", "bounds", optionally "freq") as (E,)/(E, A) arrays —
+        used by multi-gait locomotion training (LocomotionEnv samples a
+        library gait per episode; the WTW reference policy is gait-
+        conditioned the same way, ref go1.py:240-313 clock machinery)."""
         cfg = self.cfg
         gp = self.gait_params_static
         E, A = self.num_envs, self.num_agents
@@ -498,12 +504,20 @@ class Go1Env:
         def bc(v):
             # gait params accept scalars (all tasks) or per-env (E, A)/(E, 1)
             # arrays (gait-frequency command space, gain sweeps)
-            return jnp.broadcast_to(jnp.asarray(v, dtype=jnp.float32), (E, A))
+            v = jnp.asarray(v, dtype=jnp.float32)
+            if v.ndim == 1:  # (E,) -> (E, A)
+                v = v[:, None]
+            return jnp.broadcast_to(v, (E, A))
 
+        def g(name):
+            if gait_override is not None and name in gait_override:
+                return bc(gait_override[name])
+            return bc(gp[name])
+
+        phases, offsets, bounds = g("phases"), g("offsets"), g("bounds")
         gait_idx, idx, clock, dbl, half = step_gait_clocks(
             state.gait_indices, self.dt,
-            bc(gp["freq"]), bc(gp["phases"]), bc(gp["offsets"]),
-            bc(gp["bounds"]), bc(gp["duration"]),
+            g("freq"), phases, offsets, bounds, bc(gp["duration"]),
         )
         idx_legs = idx[..., jnp.asarray(CLOCK_TO_LEG)]
 
@@ -513,14 +527,17 @@ class Go1Env:
         v_yaw = quat_ops.quat_rotate_inverse(yawq, ag.lin_vel)
 
         gait_arr = dict(
-            freq=bc(gp["freq"]),
+            freq=g("freq"),
             duration=bc(gp["duration"]),
             swing_height=bc(gp["swing_height"]),
             stance_width=bc(gp["stance_width"]),
             stance_length=bc(gp["stance_length"]),
             body_height_delta=bc(gp["body_height_delta"]),
         )
-        loco_obs, loco_hist = self._fill_locomotion_obs(state, commands, clock)
+        loco_obs, loco_hist = self._fill_locomotion_obs(
+            state, commands, clock,
+            gait_pob=(phases, offsets, bounds) if gait_override else None,
+        )
         vel_int = state.vel_int
         if self.backend in ("trot", "residual") or self.body_policy_params is None:
             # velocity-error integrator (anti-windup clamped): closes the
@@ -563,9 +580,12 @@ class Go1Env:
         action = jnp.clip(action, -clip_a, clip_a)
         return action, gait_idx, clock, loco_obs, loco_hist, vel_int
 
-    def _fill_locomotion_obs(self, state: EnvState, commands, clock):
+    def _fill_locomotion_obs(self, state: EnvState, commands, clock,
+                             gait_pob=None):
         """Build the 70-dim walk-these-ways obs + roll history
-        (layout per ref go1.py:64-108, 411-479)."""
+        (layout per ref go1.py:64-108, 411-479). gait_pob: optional
+        (phases, offsets, bounds) per-env arrays overriding the static
+        config gait in obs dims 8-10 (multi-gait training)."""
         cfg = self.cfg
         sc = cfg.control.obs_scales
         dc = cfg.control.default_command
@@ -579,10 +599,16 @@ class Go1Env:
         o = o.at[..., 5].set(commands[..., 2] * sc.ang_vel)
         o = o.at[..., 6].set(dc.body_height * sc.body_height)
         o = o.at[..., 7].set(dc.gait_freq * sc.gait_freq)
-        gait = cfg.command.gaits[dc.gait]
-        o = o.at[..., 8].set(gait[0] * sc.gait_phase)
-        o = o.at[..., 9].set(gait[1] * sc.gait_phase)
-        o = o.at[..., 10].set(gait[2] * sc.gait_phase)
+        if gait_pob is not None:
+            ph, off, bnd = gait_pob
+            o = o.at[..., 8].set(ph * sc.gait_phase)
+            o = o.at[..., 9].set(off * sc.gait_phase)
+            o = o.at[..., 10].set(bnd * sc.gait_phase)
+        else:
+            gait = cfg.command.gaits[dc.gait]
+            o = o.at[..., 8].set(gait[0] * sc.gait_phase)
+            o = o.at[..., 9].set(gait[1] * sc.gait_phase)
+            o = o.at[..., 10].set(gait[2] * sc.gait_phase)
         o = o.at[..., 11].set(0.5 * sc.gait_phase)
         o = o.at[..., 12].set(dc.footswing_height * sc.footswing_height)
         o = o.at[..., 13].set(dc.body_pitch * sc.body_pitch)

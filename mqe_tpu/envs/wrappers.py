@@ -711,6 +711,9 @@ class Go1WrestlingWrapper(TaskWrapper):
             pn = jnp.where(fallen[:, 0], s["punishment_scale"], 0.0)
             rew = rew.at[:, 0].add(-pn)
             terms["punishment"] = _perenv(pn)
+        # reference broadcasts agent-0's reward channel to every agent
+        # (ref go1_wrestling_wrapper.py:120: reward.repeat(1, num_agents))
+        rew = jnp.broadcast_to(rew[:, 0:1], (E, A))
         return rew, extra, terms
 
 

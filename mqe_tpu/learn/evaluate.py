@@ -22,6 +22,10 @@ def main(argv=None):
     p.add_argument("--recurrent", action="store_true",
                    help="checkpoint was trained with --recurrent (GRU policy)")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gait", default=None,
+                   choices=[None, "trotting", "pacing", "bounding", "pronking"],
+                   help="override the task's default-command gait (must match "
+                        "the gait the checkpoint was trained under)")
     p.add_argument("--stochastic", action="store_true",
                    help="sample actions from the policy distribution instead "
                         "of acting on the mean (matches the training-rollout "
@@ -39,7 +43,18 @@ def main(argv=None):
     from mqe_tpu.envs import make_mqe_env
     from mqe_tpu.learn.networks import ActorCritic
 
-    wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
+    custom_cfg = None
+    if args.gait:
+        def custom_cfg(cfg, _g=args.gait):
+            class Cfg(cfg):
+                class control(cfg.control):
+                    class default_command(cfg.control.default_command):
+                        pass
+            Cfg.control.default_command.gait = _g
+            return Cfg
+
+    wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed,
+                             custom_cfg=custom_cfg)
     A = getattr(wrap, "controlled_agents", wrap.num_agents)
     if args.recurrent:
         from mqe_tpu.learn.networks import RecurrentActorCritic

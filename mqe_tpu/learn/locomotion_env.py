@@ -116,6 +116,7 @@ class LocoTaskState:
     last_contact: jnp.ndarray      # (E, 4) bool
     cmd_scale: jnp.ndarray         # () command-range curriculum multiplier
     track_acc: jnp.ndarray         # (E,) episode tracking-reward accumulator
+    gait_pob: jnp.ndarray          # (E, 3) per-env [phases, offsets, bounds]
     extra: dict
 
 
@@ -124,14 +125,29 @@ class LocomotionEnv:
 
     action_dim = 12
 
+    GAIT_ORDER = ("trotting", "pacing", "bounding", "pronking")
+
     def __init__(self, num_envs: int = 1024, seed: int = 0, cfg=LocomotionTrainCfg,
-                 scales: dict | None = None, resample_prob: float = 0.0):
+                 scales: dict | None = None, resample_prob: float = 0.0,
+                 multi_gait: float = 0.0):
         # resample_prob: per-env per-step probability of redrawing the command
         # ON TOP of the 5 s periodic resample. Task-layer RL policies change
         # commands every control step (50 Hz), far faster than the 5 s
         # training regime; training with random fast switches makes the body
         # policy robust to that (fall-rate fix for task training, round 4).
+        #
+        # multi_gait: per-episode probability of drawing a NON-trot library
+        # gait (pacing/bounding/pronking, uniform). The WTW reference policy
+        # is gait-conditioned (ref go1_config.py:157-179 gait library); a
+        # trot-only-trained policy collapses under task configs that select
+        # pacing (go1seesaw — tools/probe_gait.py r5: 0.09 m/s at a 0.5
+        # command, 2/16 falls). 0 = trot-only (bit-exact prior behavior).
         self.resample_prob = float(resample_prob)
+        self.multi_gait = float(multi_gait)
+        gaits_cfg = cfg.command.gaits
+        self.gait_table = np.asarray(
+            [gaits_cfg[g] for g in self.GAIT_ORDER], dtype=np.float32
+        )  # (4, 3): [phases, offsets, bounds] rows
         cfg.env.num_envs = num_envs
         self.env = Go1Env(cfg, num_envs=num_envs, seed=seed)
         # train from scratch even if a body_policy asset was auto-loaded
@@ -170,11 +186,32 @@ class LocomotionEnv:
         small = jnp.linalg.norm(cmd[:, :2], axis=-1) < 0.2
         return cmd.at[:, :2].multiply(jnp.where(small, 0.0, 1.0)[:, None])
 
-    def _locomotion_obs(self, es, commands, clock):
+    def _sample_gaits(self, key, n):
+        """(n, 3) per-env [phases, offsets, bounds]: trot with prob
+        1 - multi_gait, else uniform over the other library gaits."""
+        ku, kg = jax.random.split(key)
+        other = jax.random.randint(kg, (n,), 1, len(self.GAIT_ORDER))
+        idx = jnp.where(jax.random.uniform(ku, (n,)) < self.multi_gait, other, 0)
+        return jnp.asarray(self.gait_table)[idx]
+
+    def _gait_override(self, gait_pob):
+        if self.multi_gait <= 0.0:
+            return None
+        return {
+            "phases": gait_pob[:, 0:1],
+            "offsets": gait_pob[:, 1:2],
+            "bounds": gait_pob[:, 2:3],
+        }
+
+    def _locomotion_obs(self, es, commands, clock, gait_pob=None):
         """70-dim walk-these-ways obs for A=1 (squeezed agent axis)."""
         env = self.env
         state = es.replace(commands=jnp.broadcast_to(commands[:, None, :], (self.num_envs, 1, 3)))
-        o, _ = env._fill_locomotion_obs(state, commands[:, None, :], clock)
+        pob = None
+        if self.multi_gait > 0.0 and gait_pob is not None:
+            pob = (gait_pob[:, 0:1], gait_pob[:, 1:2], gait_pob[:, 2:3])
+        o, _ = env._fill_locomotion_obs(state, commands[:, None, :], clock,
+                                        gait_pob=pob)
         return o[:, 0]
 
     def observe(self, ts):
@@ -189,8 +226,15 @@ class LocomotionEnv:
         k1, k2 = jax.random.split(key)
         es = self.env._reset_all(k1)
         commands = self._sample_commands(k2, self.num_envs)
-        clock = es.clock_inputs[:, 0]
-        obs = self._locomotion_obs(es, commands, es.clock_inputs)
+        if self.multi_gait > 0.0:
+            # fresh subkey only in multi-gait mode: keeps the trot-only
+            # stream bit-exact with prior rounds
+            gait_pob = self._sample_gaits(jax.random.fold_in(key, 7), self.num_envs)
+        else:
+            gait_pob = jnp.broadcast_to(
+                jnp.asarray(self.gait_table[0]), (self.num_envs, 3)
+            )
+        obs = self._locomotion_obs(es, commands, es.clock_inputs, gait_pob)
         ts = LocoTaskState(
             env=es,
             commands=commands,
@@ -200,6 +244,7 @@ class LocomotionEnv:
             last_contact=jnp.zeros((self.num_envs, 4), dtype=bool),
             cmd_scale=jnp.ones(()),
             track_acc=jnp.zeros((self.num_envs,)),
+            gait_pob=gait_pob,
             extra={"obs": obs},
         )
         return ts, obs[:, None, :]
@@ -216,11 +261,12 @@ class LocomotionEnv:
         k_reset, k_cmd, k_gait = jax.random.split(key, 3)
 
         es = ts.env
+        gait_ov = self._gait_override(ts.gait_pob)
         if self.residual:
             # model-based trot base + learned residual correction (the same
             # composition Go1Env._locomotion_action applies at deployment)
             trot_action, gait_idx, clock, _, _, vel_int = env._locomotion_action(
-                es, ts.commands[:, None, :]
+                es, ts.commands[:, None, :], gait_override=gait_ov
             )
             es = es.replace(vel_int=vel_int)
             action = trot_action[:, 0] + action
@@ -229,10 +275,16 @@ class LocomotionEnv:
             from mqe_tpu.control.locomotion import step_gait_clocks
 
             gp = env.gait_params_static
+            if gait_ov is not None:
+                ph, off, bnd = (gait_ov["phases"], gait_ov["offsets"],
+                                gait_ov["bounds"])
+            else:
+                ph = jnp.asarray(gp["phases"])
+                off = jnp.asarray(gp["offsets"])
+                bnd = jnp.asarray(gp["bounds"])
             gait_idx, idx, clock, dbl, half = step_gait_clocks(
                 es.gait_indices, self.dt,
-                jnp.asarray(gp["freq"]), jnp.asarray(gp["phases"]),
-                jnp.asarray(gp["offsets"]), jnp.asarray(gp["bounds"]),
+                jnp.asarray(gp["freq"]), ph, off, bnd,
                 jnp.asarray(gp["duration"]),
             )
         es = es.replace(
@@ -398,7 +450,15 @@ class LocomotionEnv:
             )
         commands = jnp.where(resample[:, None], new_cmd, cmd)
 
-        obs = self._locomotion_obs(es, commands, clock)
+        # per-episode gait: redraw for envs that just reset (k_gait was an
+        # unused leg of the existing 3-way split, so the trot-only stream is
+        # unchanged)
+        gait_pob = ts.gait_pob
+        if self.multi_gait > 0.0:
+            new_gait = self._sample_gaits(k_gait, E)
+            gait_pob = jnp.where(done[:, None], new_gait, gait_pob)
+
+        obs = self._locomotion_obs(es, commands, clock, gait_pob)
         ts = LocoTaskState(
             env=es,
             commands=commands,
@@ -408,6 +468,7 @@ class LocomotionEnv:
             last_contact=jnp.where(done[:, None], False, contact),
             cmd_scale=cmd_scale,
             track_acc=track_acc,
+            gait_pob=gait_pob,
             extra={"obs": obs},
         )
         info = {"time_outs": timeout, "reset_mask": done, "reward_terms": reward_terms}

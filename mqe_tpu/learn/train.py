@@ -35,6 +35,11 @@ def main(argv=None):
     p.add_argument("--recurrent", action="store_true",
                    help="GRU policy (ref ppo.yaml use_recurrent_policy: true)")
     p.add_argument("--rollout-len", type=int, default=32)
+    p.add_argument("--gait", default=None,
+                   choices=[None, "trotting", "pacing", "bounding", "pronking"],
+                   help="override the task's default-command gait (e.g. "
+                        "train seesaw under trotting while the locomotion "
+                        "stack's pacing support catches up)")
     p.add_argument("--cmd-warmup", type=int, default=0,
                    help="open the vx command envelope linearly over the "
                         "first N updates (seesaw-style careful-approach "
@@ -70,7 +75,18 @@ def main(argv=None):
     from mqe_tpu.envs import make_mqe_env
     from mqe_tpu.learn.ppo import PPOConfig, PPOTrainer
 
-    wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed)
+    custom_cfg = None
+    if args.gait:
+        def custom_cfg(cfg, _g=args.gait):
+            class Cfg(cfg):
+                class control(cfg.control):
+                    class default_command(cfg.control.default_command):
+                        pass
+            Cfg.control.default_command.gait = _g
+            return Cfg
+
+    wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed,
+                             custom_cfg=custom_cfg)
     algo = "ppo" if args.algo == "sppo" else args.algo  # sppo: OpenRL's simple-PPO == shared-param PPO here
     pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len,
                      ent_coef=args.ent_coef,

@@ -30,6 +30,11 @@ def main(argv=None):
         help="per-env per-step probability of a random command switch "
              "(robustness to the task layer's 50 Hz command changes)")
     p.add_argument(
+        "--multi-gait", type=float, default=0.0,
+        help="per-episode probability of a non-trot library gait "
+             "(pacing/bounding/pronking uniform); conditions the policy on "
+             "the gait-params obs dims like the WTW reference")
+    p.add_argument(
         "--init-policy", default=None,
         help="warm-start actor+critic from a previously saved body-policy "
              "npz (continue training instead of from scratch)")
@@ -55,7 +60,8 @@ def main(argv=None):
     # backend is the bare actuator net (reference parity)
     LocomotionTrainCfg.control.locomotion_backend = args.backend
     env = LocomotionEnv(num_envs=args.num_envs, seed=args.seed,
-                        resample_prob=args.resample_prob)
+                        resample_prob=args.resample_prob,
+                        multi_gait=args.multi_gait)
     trainer = PPOTrainer(
         env,
         PPOConfig(lr=args.lr, rollout_len=args.rollout_len, ent_coef=1e-3),

@@ -19,3 +19,20 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# `-m fast` tier: quick physics/terrain/reward correctness modules that
+# compile in seconds each — the pre-commit gate for hot-loop default changes
+# (the expensive configurations are exactly the ones nobody re-runs).
+_FAST_MODULES = {
+    "test_quat", "test_dynamics", "test_soa", "test_scene", "test_terrain",
+    "test_native", "test_camera",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1] if item.module else ""
+        if mod in _FAST_MODULES and "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)

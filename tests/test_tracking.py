@@ -11,9 +11,12 @@ below the measured round-3 level:
   round 4:   v@1.0 = 0.894, mean |err| vx 0.054 / vy 0.032 / wz 0.095
              (warm-started +200M with random fast command switches,
              tools/eval_tracking.py full 21-command grid, BENCHLOG.md)
+  round 5:   v@1.0 = 0.924, mean |err| vx 0.032 / vy 0.017 / wz 0.090
+             (+900M multi-gait continuation: per-episode gait sampling;
+             pacing/bounding/pronking became functional with trot improved)
 
 Bars are set with ~5% slack under the measured full-grid numbers; raise them
-toward the 0.9 / 0.1 target as the policy improves.
+toward the ~1:1 reference contract as the policy improves.
 """
 import jax
 import jax.numpy as jnp
@@ -44,10 +47,10 @@ SETTLE = 1.0
 # The slack absorbs that cross-platform variance plus seed noise; a genuine
 # regression (the 0.74-plateau class of bug) overshoots it by an order of
 # magnitude.
-V_AT_1MS_MIN = 0.85
-MEAN_ERR_VX_MAX = 0.08
-MEAN_ERR_VY_MAX = 0.06
-MEAN_ERR_WZ_MAX = 0.13
+V_AT_1MS_MIN = 0.89
+MEAN_ERR_VX_MAX = 0.055
+MEAN_ERR_VY_MAX = 0.04
+MEAN_ERR_WZ_MAX = 0.12
 
 
 @pytest.mark.slow
@@ -91,3 +94,53 @@ def test_command_tracking_enforced():
     assert err_vx <= MEAN_ERR_VX_MAX, f"mean |err| vx = {err_vx:.3f}"
     assert err_vy <= MEAN_ERR_VY_MAX, f"mean |err| vy = {err_vy:.3f}"
     assert err_wz <= MEAN_ERR_WZ_MAX, f"mean |err| wz = {err_wz:.3f}"
+
+
+@pytest.mark.slow
+def test_pacing_gait_floor():
+    """Multi-gait contract (round 5): go1seesaw commands the PACING gait
+    (ref go1_seesaw_config.py:91), and the r4 trot-only policy collapsed
+    under it (0.09 m/s at a 0.5 command, falls — tools/probe_gait.py,
+    BENCHLOG r5). The deployed policy must keep all library gaits
+    functional; this pins pacing, the weakest, well above the collapse
+    level (TPU-measured 0.34; CPU slack as above)."""
+    E = 8
+
+    def custom_cfg(cfg):
+        class Cfg(cfg):
+            class control(cfg.control):
+                class default_command(cfg.control.default_command):
+                    pass
+        Cfg.control.default_command.gait = "pacing"
+        return Cfg
+
+    wrap, _ = make_mqe_env("go1plane", num_envs=E, seed=0,
+                           custom_cfg=custom_cfg)
+    env = wrap.env
+    cmds = jnp.zeros((E, 1, 3)).at[..., 0].set(0.5)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    n_steps = int(round(3.0 / env.dt))
+    n_settle = int(round(1.0 / env.dt))
+
+    @jax.jit
+    def rollout(state, key):
+        def body(carry, _):
+            state, key = carry
+            key, k = jax.random.split(key)
+            state, _, done, info = env._step_impl(state, cmds, k)
+            ag = state.phys.agents
+            yawq = quat_ops.yaw_quat(ag.quat[:, 0])
+            v = quat_ops.quat_rotate_inverse(yawq, ag.lin_vel[:, 0])
+            fell = done & ~info["time_outs"]
+            return (state, key), (v[:, 0], fell)
+
+        return jax.lax.scan(body, (state, key), None, length=n_steps)[1]
+
+    vx, fell = rollout(state, jax.random.PRNGKey(1))
+    v = np.asarray(vx)[n_settle:].mean()
+    n_fell = int(np.asarray(fell).any(0).sum())
+    assert v >= 0.22, f"pacing v@0.5 = {v:.3f} (trot-only collapse is ~0.09)"
+    # pacing is the marginal gait and CPU physics sits slightly off the
+    # TPU-measured point (1/16 falls there); the velocity floor above is
+    # the collapse detector — the fall bar only catches gross instability
+    assert n_fell <= 3, f"{n_fell}/8 envs fell under pacing"
