@@ -67,6 +67,12 @@ class TaskWrapper:
     has_success = False
 
     def __init__(self, env: Go1Env):
+        # train-time option for competitive tasks: per-seat zero-sum reward
+        # instead of the reference's agent-0-only channel (see
+        # Go1WrestlingWrapper._reward). Must be set before the first
+        # reset/step call — the flag is baked into the jitted step at trace
+        # time.
+        self.selfplay = False
         self.env = env
         self.cfg = env.cfg
         self.num_envs = env.num_envs
@@ -711,9 +717,19 @@ class Go1WrestlingWrapper(TaskWrapper):
             pn = jnp.where(fallen[:, 0], s["punishment_scale"], 0.0)
             rew = rew.at[:, 0].add(-pn)
             terms["punishment"] = _perenv(pn)
-        # reference broadcasts agent-0's reward channel to every agent
-        # (ref go1_wrestling_wrapper.py:120: reward.repeat(1, num_agents))
-        rew = jnp.broadcast_to(rew[:, 0:1], (E, A))
+        # Reference semantics: reward flows to agent 0's channel ONLY
+        # (ref go1_wrestling_wrapper.py:62-81 — no repeat; agent 1 is an
+        # unrewarded mirrored seat). For shared-policy self-play training
+        # set `wrap.selfplay = True` BEFORE the first step/reset call: each
+        # seat then earns the zero-sum per-seat reward (+S when the opponent
+        # falls, -P when it falls itself) so both experience streams carry
+        # an aligned learning signal. Default off = reference parity
+        # (goldens pin this path).
+        if self.selfplay:
+            S = s.get("success_reward_scale", 0.0)
+            P = s.get("punishment_scale", 0.0)
+            opp_fallen = jnp.flip(fallen, axis=1)
+            rew = S * opp_fallen.astype(jnp.float32) - P * fallen.astype(jnp.float32)
         return rew, extra, terms
 
 

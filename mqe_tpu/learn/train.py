@@ -40,6 +40,10 @@ def main(argv=None):
                    help="override the task's default-command gait (e.g. "
                         "train seesaw under trotting while the locomotion "
                         "stack's pacing support catches up)")
+    p.add_argument("--selfplay", action="store_true",
+                   help="competitive tasks: per-seat zero-sum reward for "
+                        "shared-policy self-play (default: reference "
+                        "agent-0-only reward channel)")
     p.add_argument("--cmd-warmup", type=int, default=0,
                    help="open the vx command envelope linearly over the "
                         "first N updates (seesaw-style careful-approach "
@@ -87,6 +91,8 @@ def main(argv=None):
 
     wrap, cfg = make_mqe_env(args.task, num_envs=args.num_envs, seed=args.seed,
                              custom_cfg=custom_cfg)
+    if args.selfplay:
+        wrap.selfplay = True  # before first trace (wrappers.TaskWrapper)
     algo = "ppo" if args.algo == "sppo" else args.algo  # sppo: OpenRL's simple-PPO == shared-param PPO here
     pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len,
                      ent_coef=args.ent_coef,

@@ -297,10 +297,28 @@ def test_wrestling_fall_golden():
     obs = obs_of(wrap, st)
     rew, _, _ = wrap._reward(st, obs, {}, None, no_reset_info())
     assert float(rew[0, 0]) == pytest.approx(s["success_reward_scale"])
+    # reference parity: reward flows to agent 0's channel ONLY
+    # (ref go1_wrestling_wrapper.py:62-81 — no repeat)
+    assert float(rew[0, 1]) == pytest.approx(0.0, abs=1e-6)
     # flip agent 0 (roll) -> punishment on agent 0
     st2 = _move_agent(state, wrap.env, 0, rpy=(np.pi * 0.5, 0.0, 0.0))
     rew2, _, _ = wrap._reward(st2, obs_of(wrap, st2), {}, None, no_reset_info())
     assert float(rew2[0, 0]) == pytest.approx(-s["punishment_scale"])
+    assert float(rew2[0, 1]) == pytest.approx(0.0, abs=1e-6)
+
+    # self-play training mode: per-seat zero-sum reward
+    wrap.selfplay = True
+    try:
+        rew_sp, _, _ = wrap._reward(st, obs, {}, None, no_reset_info())
+        # agent 1 fell: seat 0 earns +S, seat 1 earns -P
+        assert float(rew_sp[0, 0]) == pytest.approx(s["success_reward_scale"])
+        assert float(rew_sp[0, 1]) == pytest.approx(-s["punishment_scale"])
+        rew_sp2, _, _ = wrap._reward(st2, obs_of(wrap, st2), {}, None, no_reset_info())
+        # agent 0 fell: seat 0 earns -P, seat 1 earns +S
+        assert float(rew_sp2[0, 0]) == pytest.approx(-s["punishment_scale"])
+        assert float(rew_sp2[0, 1]) == pytest.approx(s["success_reward_scale"])
+    finally:
+        wrap.selfplay = False
 
 
 def test_rotation_golden():
