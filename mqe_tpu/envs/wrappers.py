@@ -159,6 +159,16 @@ class TaskWrapper:
         pre_state, carry = self.env._step_pre(ts.env, cmds, key)
         state, obs_buf, done, info = self.env._step_finish(pre_state, carry)
         reward, extra, terms = self._reward(state, obs_buf, ts.extra, actions, info)
+        if self.selfplay:
+            # train-time competitive mode: replace the reference's
+            # agent-0-only channel with a per-seat zero-sum reward computed
+            # on the PRE-reset state (termination-coincident falls happen on
+            # exactly the step whose post-reset obs is a fresh spawn — the
+            # reference's own reward reads post-reset obs and thus almost
+            # never fires; see Go1WrestlingWrapper._selfplay_reward)
+            reward = self._selfplay_reward(
+                pre_state, self.env._observations(pre_state), reward
+            )
         # diff-based rewards must reinitialize across resets: refresh extras
         # for reset envs (reference zeroes via env.reset_ids indexing)
         fresh_extra = self._extra_init(state, obs_buf)
@@ -195,6 +205,11 @@ class TaskWrapper:
     def _transform_actions(self, actions):
         """Hook for competitive wrappers that mirror agent 1's actions."""
         return actions
+
+    def _selfplay_reward(self, pre_state, pre_obs, reward):
+        """Hook: per-seat zero-sum reward for shared-policy self-play
+        (wrap.selfplay = True). Default: unchanged task reward."""
+        return reward
 
     def observe(self, ts) -> jnp.ndarray:
         """Task observation from a TaskState (used by the RL loop)."""
@@ -720,17 +735,34 @@ class Go1WrestlingWrapper(TaskWrapper):
         # Reference semantics: reward flows to agent 0's channel ONLY
         # (ref go1_wrestling_wrapper.py:62-81 — no repeat; agent 1 is an
         # unrewarded mirrored seat). For shared-policy self-play training
-        # set `wrap.selfplay = True` BEFORE the first step/reset call: each
-        # seat then earns the zero-sum per-seat reward (+S when the opponent
-        # falls, -P when it falls itself) so both experience streams carry
-        # an aligned learning signal. Default off = reference parity
-        # (goldens pin this path).
-        if self.selfplay:
-            S = s.get("success_reward_scale", 0.0)
-            P = s.get("punishment_scale", 0.0)
-            opp_fallen = jnp.flip(fallen, axis=1)
-            rew = S * opp_fallen.astype(jnp.float32) - P * fallen.astype(jnp.float32)
+        # set `wrap.selfplay = True` — see _selfplay_reward.
         return rew, extra, terms
+
+    def _selfplay_reward(self, pre_state, pre_obs, reward):
+        """Per-seat zero-sum fall reward on the PRE-reset state.
+
+        Fall = beyond the env's own termination thresholds (roll 0.8 /
+        pitch 1.6 rad, z < 0.3 m — Go1WrestlingCfg.termination), because the
+        env resets there: the reference's stricter 0.9pi/0.4pi reward
+        thresholds are only observable in the rare single-step overshoot,
+        leaving self-play with no learning signal. Each seat earns +S when
+        its opponent falls and -P when it falls itself (zero-sum when S==P;
+        with the config's S=10, P=1 a mutual crash still favors the pusher).
+        """
+        s = self.scales
+        t = self.cfg.termination
+        r_ = quat_ops.wrap_to_pi(pre_obs.base_rpy[..., 0])
+        p_ = quat_ops.wrap_to_pi(pre_obs.base_rpy[..., 1])
+        z = pre_obs.base_pos[..., 2]
+        fallen = (
+            (jnp.abs(r_) > t.roll_kwargs["threshold"])
+            | (jnp.abs(p_) > t.pitch_kwargs["threshold"])
+            | (z < t.z_low_kwargs["threshold"])
+        )
+        S = s.get("success_reward_scale", 0.0)
+        P = s.get("punishment_scale", 0.0)
+        opp = jnp.flip(fallen, axis=1)
+        return S * opp.astype(jnp.float32) - P * fallen.astype(jnp.float32)
 
 
 class Go1RotationWrapper(TaskWrapper):

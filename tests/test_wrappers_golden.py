@@ -306,19 +306,17 @@ def test_wrestling_fall_golden():
     assert float(rew2[0, 0]) == pytest.approx(-s["punishment_scale"])
     assert float(rew2[0, 1]) == pytest.approx(0.0, abs=1e-6)
 
-    # self-play training mode: per-seat zero-sum reward
-    wrap.selfplay = True
-    try:
-        rew_sp, _, _ = wrap._reward(st, obs, {}, None, no_reset_info())
-        # agent 1 fell: seat 0 earns +S, seat 1 earns -P
-        assert float(rew_sp[0, 0]) == pytest.approx(s["success_reward_scale"])
-        assert float(rew_sp[0, 1]) == pytest.approx(-s["punishment_scale"])
-        rew_sp2, _, _ = wrap._reward(st2, obs_of(wrap, st2), {}, None, no_reset_info())
-        # agent 0 fell: seat 0 earns -P, seat 1 earns +S
-        assert float(rew_sp2[0, 0]) == pytest.approx(-s["punishment_scale"])
-        assert float(rew_sp2[0, 1]) == pytest.approx(s["success_reward_scale"])
-    finally:
-        wrap.selfplay = False
+    # self-play training mode: per-seat zero-sum reward on the pre-reset
+    # state with env-termination fall thresholds (|pitch| 0.95pi > 1.6 and
+    # |roll| 0.5pi > 0.8 both qualify)
+    rew_sp = wrap._selfplay_reward(st, obs, rew)
+    # agent 1 fell: seat 0 earns +S, seat 1 earns -P
+    assert float(rew_sp[0, 0]) == pytest.approx(s["success_reward_scale"])
+    assert float(rew_sp[0, 1]) == pytest.approx(-s["punishment_scale"])
+    rew_sp2 = wrap._selfplay_reward(st2, obs_of(wrap, st2), rew2)
+    # agent 0 fell: seat 0 earns -P, seat 1 earns +S
+    assert float(rew_sp2[0, 0]) == pytest.approx(-s["punishment_scale"])
+    assert float(rew_sp2[0, 1]) == pytest.approx(s["success_reward_scale"])
 
 
 def test_rotation_golden():
