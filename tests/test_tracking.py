@@ -47,10 +47,10 @@ SETTLE = 1.0
 # The slack absorbs that cross-platform variance plus seed noise; a genuine
 # regression (the 0.74-plateau class of bug) overshoots it by an order of
 # magnitude.
-V_AT_1MS_MIN = 0.89
-MEAN_ERR_VX_MAX = 0.055
-MEAN_ERR_VY_MAX = 0.04
-MEAN_ERR_WZ_MAX = 0.12
+V_AT_1MS_MIN = 0.90   # VERDICT r4 #3 target; measured 0.924 (CPU grid)
+MEAN_ERR_VX_MAX = 0.05
+MEAN_ERR_VY_MAX = 0.035
+MEAN_ERR_WZ_MAX = 0.10
 
 
 @pytest.mark.slow
