@@ -71,8 +71,12 @@ class TaskWrapper:
         # instead of the reference's agent-0-only channel (see
         # Go1WrestlingWrapper._reward). Must be set before the first
         # reset/step call — the flag is baked into the jitted step at trace
-        # time.
+        # time. selfplay_punishment overrides the config's own-fall penalty
+        # scale for self-play only (None = config value); with the
+        # reference's S=10/P=1 wrestling scales, mutual-fall brawling is
+        # near-optimal — P=S trains defensiveness (measured r5, BENCHLOG).
         self.selfplay = False
+        self.selfplay_punishment = None
         self.env = env
         self.cfg = env.cfg
         self.num_envs = env.num_envs
@@ -167,7 +171,7 @@ class TaskWrapper:
             # reference's own reward reads post-reset obs and thus almost
             # never fires; see Go1WrestlingWrapper._selfplay_reward)
             reward = self._selfplay_reward(
-                pre_state, self.env._observations(pre_state), reward
+                pre_state, self.env._observations(pre_state), reward, ts.extra
             )
         # diff-based rewards must reinitialize across resets: refresh extras
         # for reset envs (reference zeroes via env.reset_ids indexing)
@@ -206,7 +210,7 @@ class TaskWrapper:
         """Hook for competitive wrappers that mirror agent 1's actions."""
         return actions
 
-    def _selfplay_reward(self, pre_state, pre_obs, reward):
+    def _selfplay_reward(self, pre_state, pre_obs, reward, extra):
         """Hook: per-seat zero-sum reward for shared-policy self-play
         (wrap.selfplay = True). Default: unchanged task reward."""
         return reward
@@ -687,6 +691,39 @@ class Go1TugWrapper(TaskWrapper):
         extra = {"last_dis": obs.base_pos[..., :2], "last_npc": q}
         return rew, extra, terms
 
+    def _selfplay_reward(self, pre_state, pre_obs, reward, extra):
+        """Per-seat mirror of the reference's agent-0 reward laws (ref
+        go1_tug_wrapper.py:89-113) for shared-policy self-play: seat 0
+        wins as the disc DOF goes negative, seat 1 as it goes positive
+        (the wrapper mirrors seat 1's lateral frame), each with the same
+        improvement-halving and handle-distance shaping evaluated on its
+        OWN base. Evaluated on the pre-reset state."""
+        E = self.num_envs
+        s = self.scales
+        q = pre_state.phys.npcs.q[:, 0, 0]
+        lastq = extra["last_npc"]
+        # per-seat "favor": how far the disc sits on MY side
+        sgn = jnp.asarray([-1.0, 1.0])
+        favor = q[:, None] * sgn
+        lastfavor = lastq[:, None] * sgn
+        improving = lastfavor < favor
+        S = s.get("success_reward_scale", 0.0)
+        P = s.get("punishment_reward_scale", 0.0)
+        win = jnp.where(favor > 0, S * favor, 0.0)
+        win = jnp.where(improving, win, win / 2)
+        lose = jnp.where(favor < 0, P * (-favor), 0.0)
+        lose = jnp.where(improving, lose / 2, lose)
+        handle = jnp.stack([jnp.full((E,), 1.6), q], axis=-1)[:, None, :]
+        d_now = jnp.linalg.norm(pre_obs.base_pos[..., :2] - handle, axis=-1)
+        d_last = jnp.linalg.norm(extra["last_dis"] - handle, axis=-1)
+        pos_r = jnp.where(
+            d_now < d_last, (d_last - d_now) * s.get("pos_reward_scale", 0.0), 0.0
+        )
+        pos_p = jnp.where(
+            d_now >= d_last, 2.0**d_now * s.get("pos_punishment_scale", 0.0), 0.0
+        )
+        return win - lose + pos_r - pos_p
+
 
 class Go1WrestlingWrapper(TaskWrapper):
     """(ref go1_wrestling_wrapper.py)."""
@@ -738,7 +775,7 @@ class Go1WrestlingWrapper(TaskWrapper):
         # set `wrap.selfplay = True` — see _selfplay_reward.
         return rew, extra, terms
 
-    def _selfplay_reward(self, pre_state, pre_obs, reward):
+    def _selfplay_reward(self, pre_state, pre_obs, reward, extra):
         """Per-seat zero-sum fall reward on the PRE-reset state.
 
         Fall = beyond the env's own termination thresholds (roll 0.8 /
@@ -761,6 +798,8 @@ class Go1WrestlingWrapper(TaskWrapper):
         )
         S = s.get("success_reward_scale", 0.0)
         P = s.get("punishment_scale", 0.0)
+        if self.selfplay_punishment is not None:
+            P = self.selfplay_punishment
         opp = jnp.flip(fallen, axis=1)
         return S * opp.astype(jnp.float32) - P * fallen.astype(jnp.float32)
 

@@ -44,6 +44,10 @@ def main(argv=None):
                    help="competitive tasks: per-seat zero-sum reward for "
                         "shared-policy self-play (default: reference "
                         "agent-0-only reward channel)")
+    p.add_argument("--selfplay-punishment", type=float, default=None,
+                   help="override the own-fall penalty scale in self-play "
+                        "(reference wrestling S=10/P=1 rewards brawling; "
+                        "P=S trains defensiveness)")
     p.add_argument("--cmd-warmup", type=int, default=0,
                    help="open the vx command envelope linearly over the "
                         "first N updates (seesaw-style careful-approach "
@@ -93,6 +97,7 @@ def main(argv=None):
                              custom_cfg=custom_cfg)
     if args.selfplay:
         wrap.selfplay = True  # before first trace (wrappers.TaskWrapper)
+        wrap.selfplay_punishment = args.selfplay_punishment
     algo = "ppo" if args.algo == "sppo" else args.algo  # sppo: OpenRL's simple-PPO == shared-param PPO here
     pcfg = PPOConfig(algo=algo, lr=args.lr, rollout_len=args.rollout_len,
                      ent_coef=args.ent_coef,

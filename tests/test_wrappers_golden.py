@@ -288,6 +288,49 @@ def test_tug_halving_golden():
     assert float(rew_f[0, 1]) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_tug_selfplay_reward():
+    """Self-play mode mirrors the agent-0 laws per seat: seat 0's channel
+    reproduces the parity reward exactly; seat 1 earns the mirrored win
+    when the disc moves to ITS side (q > 0)."""
+    wrap, ts, _ = get_wrap("go1tug")
+    s = wrap.scales
+    state = ts.env
+
+    def with_q(q):
+        npcs = state.phys.npcs
+        return state.replace(
+            phys=state.phys.replace(npcs=npcs.replace(q=npcs.q.at[:, 0, 0].set(q)))
+        )
+
+    st = with_q(-0.4)
+    obs = obs_of(wrap, st)
+    extra = {**wrap._extra_init(st, obs), "last_npc": jnp.full((2,), -0.2)}
+    rew_par, _, _ = wrap._reward(st, obs, extra, None, no_reset_info())
+    rew_sp = wrap._selfplay_reward(st, obs, rew_par, extra)
+    # seat 0: identical to the reference laws
+    assert float(rew_sp[0, 0]) == pytest.approx(float(rew_par[0, 0]), rel=1e-5)
+
+    # mirrored configuration: disc on seat 1's side. Isolate the win /
+    # punishment terms from the 2^d distance shaping via improving-vs-
+    # stalled deltas (same technique as test_tug_halving_golden — last_npc
+    # does not enter the shaping terms).
+    st2 = with_q(0.4)
+    obs2 = obs_of(wrap, st2)
+    base_extra = wrap._extra_init(st2, obs2)
+    e_imp = {**base_extra, "last_npc": jnp.full((2,), 0.2)}    # improving for seat 1
+    e_stall = {**base_extra, "last_npc": jnp.full((2,), 0.6)}  # stalled for seat 1
+    zero = jnp.zeros_like(rew_par)
+    sp_imp = wrap._selfplay_reward(st2, obs2, zero, e_imp)
+    sp_stall = wrap._selfplay_reward(st2, obs2, zero, e_stall)
+    # seat-1 win: full when improving, halved when stalled
+    delta1 = float(sp_imp[0, 1] - sp_stall[0, 1])
+    assert delta1 == pytest.approx(s["success_reward_scale"] * 0.4 / 2, rel=1e-4)
+    # seat-0 punishment: full when NOT improving for seat 0 (lastq < q),
+    # halved when improving (lastq > q) — e_imp is seat-0-worsening
+    delta0 = float(sp_imp[0, 0] - sp_stall[0, 0])
+    assert delta0 == pytest.approx(-s["punishment_reward_scale"] * 0.4 / 2, rel=1e-4)
+
+
 def test_wrestling_fall_golden():
     wrap, ts, _ = get_wrap("go1wrestling")
     s = wrap.scales
@@ -309,11 +352,11 @@ def test_wrestling_fall_golden():
     # self-play training mode: per-seat zero-sum reward on the pre-reset
     # state with env-termination fall thresholds (|pitch| 0.95pi > 1.6 and
     # |roll| 0.5pi > 0.8 both qualify)
-    rew_sp = wrap._selfplay_reward(st, obs, rew)
+    rew_sp = wrap._selfplay_reward(st, obs, rew, {})
     # agent 1 fell: seat 0 earns +S, seat 1 earns -P
     assert float(rew_sp[0, 0]) == pytest.approx(s["success_reward_scale"])
     assert float(rew_sp[0, 1]) == pytest.approx(-s["punishment_scale"])
-    rew_sp2 = wrap._selfplay_reward(st2, obs_of(wrap, st2), rew2)
+    rew_sp2 = wrap._selfplay_reward(st2, obs_of(wrap, st2), rew2, {})
     # agent 0 fell: seat 0 earns -P, seat 1 earns +S
     assert float(rew_sp2[0, 0]) == pytest.approx(-s["punishment_scale"])
     assert float(rew_sp2[0, 1]) == pytest.approx(s["success_reward_scale"])
