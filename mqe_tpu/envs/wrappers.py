@@ -859,6 +859,25 @@ class Go1RotationWrapper(TaskWrapper):
             terms["distance reward"] = _perenv(r)
         return rew, {"last_dis": d}, terms
 
+    def _selfplay_reward(self, pre_state, pre_obs, reward, extra):
+        """Per-seat mirror of the agent-0 laws (ref go1_rotation_wrapper.py
+        reward block): each seat earns +S for passing the door itself,
+        -P when its opponent passes, +D for closing its own distance to
+        the target (both agents race through in +x, so the laws are
+        seat-symmetric as-is). Pre-reset state."""
+        s = self.scales
+        tx = self._target_x()
+        x = pre_obs.base_pos[..., 0]
+        d = jnp.linalg.norm(
+            pre_obs.base_pos[..., :2] - jnp.asarray([tx, 0.0])[None, None, :], axis=-1
+        )
+        passed = (x > tx).astype(jnp.float32)
+        closer = (d < extra["last_dis"]).astype(jnp.float32)
+        S = s.get("success_reward_scale", 0.0)
+        P = s.get("punishment_scale", 0.0)
+        D = s.get("distance_reward_scale", 0.0)
+        return S * passed - P * jnp.flip(passed, 1) + D * closer
+
 
 class Go1BridgeWrapper(TaskWrapper):
     """(ref go1_bridge_wrapper.py)."""
@@ -909,6 +928,24 @@ class Go1BridgeWrapper(TaskWrapper):
             rew = rew.at[:, 0].add(r)
             terms["target reward"] = _perenv(r)
         return rew, extra, terms
+
+    def _selfplay_reward(self, pre_state, pre_obs, reward, extra):
+        """Per-seat mirror of the agent-0 laws (ref go1_bridge_wrapper.py
+        reward block): +S when the opponent drops below the bridge deck
+        (z < 0.5), -P for falling oneself, +T for reaching the opponent's
+        start (agent 0 crosses in +x, agent 1 in -x, so its target test is
+        mirrored). Pre-reset state."""
+        s = self.scales
+        z = pre_obs.base_pos[..., 2]
+        x = pre_obs.base_pos[..., 0]
+        fell = (z < 0.5).astype(jnp.float32)
+        crossed0 = x[:, 0] > extra["target"][:, 0, 0]
+        crossed1 = x[:, 1] < extra["target"][:, 1, 0]
+        crossed = jnp.stack([crossed0, crossed1], axis=1).astype(jnp.float32)
+        S = s.get("success_reward_scale", 0.0)
+        P = s.get("punishment_scale", 0.0)
+        T = s.get("target_reward_scale", 0.0)
+        return S * jnp.flip(fell, 1) - P * fell + T * crossed
 
 
 class Go1DoorWrapper(TaskWrapper):
